@@ -1,0 +1,203 @@
+"""Dimension tables (classification + enrichment lookups).
+
+Analogues of the reference's side inputs, all deterministic and tiny so they
+broadcast (the reference loads them once per harvest into driver memory,
+LogHarvesterTask.java:237-294):
+
+- robot UA regex lists  ← fullWebRobotList.txt / partialWebRobotList.txt
+  (222 / 214 regexes, matched with Java ``Matcher.find()`` substring
+  semantics, LogEntrySolrItem.java:352-382)
+- robot IP/CIDR list    ← webRobotIPs.csv (171 rows, SubnetUtils.isInRange,
+  LogEntrySolrItem.java:388-442)
+- node registry / geo   ← DataONE_IPs.csv + GeoLiteCity.dat point lookups
+  (GeoIPService.java:78-167); here derived from the ``nation``/``region``
+  tables so the oracle can reproduce it
+- sysmeta               ← Hazelcast IMap<Identifier,SystemMetadata>
+  (LogHarvesterTask.java:181,346-349); here derived from ``documents``
+
+Every builder has two forms: a Spark DataFrame and a SQL fragment (VALUES
+CTE or SELECT over the pre-registered views) so the DuckDB oracle sees the
+exact same dimension rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# --------------------------------------------------------------------------
+# Robot UA patterns (analog of full/partialWebRobotList.txt).  Substring
+# find() semantics: a record is a robot if ANY pattern finds a match
+# anywhere in the UA string (LogEntrySolrItem.java:360-362).
+# --------------------------------------------------------------------------
+
+FULL_ROBOT_PATTERNS: list[str] = [
+    "[Gg]ooglebot",
+    "msnbot",
+    "China\\sLocal\\sBrowse",  # escaped-space form present in the real list
+    "Scrapy",
+    "[Cc]rawler",
+    "Yandex(Bot|Images)",
+    "bingbot/[0-9]",
+    "facebookexternalhit",
+]
+
+PARTIAL_ROBOT_PATTERNS: list[str] = [
+    "bot",
+    "curl",
+    "python(-|\\s)requests",
+    "Scrapy",  # present in both lists, like the real files
+    "spider",
+    "wget",
+    "libwww",
+    "HeadlessChrome",
+]
+
+
+def combined_regex(patterns: list[str]) -> str:
+    """One alternation regex reproducing 'any pattern finds a match'.
+
+    The reference iterates the list per record (a theta join,
+    LogEntrySolrItem.java:352-382); ``rlike`` against the alternation is the
+    vectorized equivalent and short-circuits JVM-side.
+    """
+    return "(" + "|".join(patterns) + ")"
+
+
+# --------------------------------------------------------------------------
+# Robot IPs (analog of webRobotIPs.csv): single IPs and CIDR blocks.
+# Matched against the transcript's parsed ip.  We synthesize client IPs as
+# 10.(user_id%200).(user_id*7%256).(user_id*13%254+1)  — see transcripts.py —
+# so these blocks deterministically tag a subset of users as robots.
+# --------------------------------------------------------------------------
+
+ROBOT_IPS: list[tuple[str, str]] = [
+    ("10.3.0.0/16", "crawler-net-a"),      # users with user_id%200 == 3
+    ("10.17.0.0/16", "crawler-net-b"),     # users with user_id%200 == 17
+    ("10.40.0.0/16", "crawler-net-c"),
+    ("10.101.0.0/16", "crawler-net-d"),
+    ("10.7.49.92", "single-bot-1"),        # exact ip of user_id 7
+    ("203.0.113.0/24", "test-net-3"),      # never matches (negative row)
+    ("198.51.100.77", "single-bot-2"),     # never matches (negative row)
+]
+
+
+def ip_to_long_py(ip: str) -> int | None:
+    parts = ip.split(".")
+    if len(parts) != 4:
+        return None
+    try:
+        octs = [int(p) for p in parts]
+    except ValueError:
+        return None
+    if any(o < 0 or o > 255 for o in octs):
+        return None
+    return (octs[0] << 24) | (octs[1] << 16) | (octs[2] << 8) | octs[3]
+
+
+def cidr_range_py(ip_or_cidr: str) -> tuple[int, int] | None:
+    """CIDR/IP → inclusive uint32 range (SubnetUtils.isInRange analog,
+    LogEntrySolrItem.java:417-433).  Malformed entries → None (the reference
+    catches IllegalArgumentException and skips the row)."""
+    if "/" in ip_or_cidr:
+        base, _, pfx = ip_or_cidr.partition("/")
+        lo = ip_to_long_py(base)
+        if lo is None or not pfx.isdigit():
+            return None
+        bits = int(pfx)
+        if bits < 0 or bits > 32:
+            return None
+        mask = (0xFFFFFFFF << (32 - bits)) & 0xFFFFFFFF if bits else 0
+        lo &= mask
+        return lo, lo | (0xFFFFFFFF >> bits if bits else 0xFFFFFFFF)
+    v = ip_to_long_py(ip_or_cidr)
+    return None if v is None else (v, v)
+
+
+def robot_ip_ranges() -> list[tuple[int, int, str]]:
+    out = []
+    for cidr, label in ROBOT_IPS:
+        rng = cidr_range_py(cidr)
+        if rng is not None:
+            out.append((rng[0], rng[1], label))
+    return out
+
+
+def robot_ip_ranges_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        robot_ip_ranges(), "net_lo long, net_hi long, bot_label string"
+    )
+
+
+def robot_ip_ranges_values_sql() -> str:
+    """VALUES CTE body for the DuckDB oracle — same (lo, hi, label) rows."""
+    rows = ", ".join(
+        f"({lo}, {hi}, '{label}')" for lo, hi, label in robot_ip_ranges()
+    )
+    return f"(VALUES {rows}) AS robot_ip_ranges(net_lo, net_hi, bot_label)"
+
+
+# --------------------------------------------------------------------------
+# Node registry / geo dimension (DataONE_IPs.csv + GeoIP analog).
+# Derived from nation ⨝ region so the oracle can rebuild it verbatim.
+# Join key: registry_key = first ip octet group, i.e. user's nation.
+# --------------------------------------------------------------------------
+
+REGISTRY_SQL_TEMPLATE = """
+SELECT
+  cast(n.n_nationkey AS int)                         AS registry_key,
+  'urn:node:' || upper(substr(n.n_name, 1, 8))       AS node_id,
+  n.n_name                                           AS country,
+  r.r_name                                           AS region,
+  n.n_name || '-city'                                AS city,
+  round(cast(n.n_nationkey AS double) * 3.17 - 38.0, 4)  AS lat,
+  round(cast(n.n_nationkey AS double) * 13.03 - 160.0, 4) AS lon
+FROM {nation} n
+JOIN {region} r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def registry_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "_dims_nation"
+    )
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView(
+        "_dims_region"
+    )
+    return spark.sql(
+        REGISTRY_SQL_TEMPLATE.format(nation="_dims_nation", region="_dims_region")
+    )
+
+
+def registry_sql() -> str:
+    """Oracle-side registry (views ``nation``/``region`` are pre-registered)."""
+    return REGISTRY_SQL_TEMPLATE.format(nation="nation", region="region")
+
+
+# --------------------------------------------------------------------------
+# Sysmeta dimension (Hazelcast sysmeta map analog), derived from documents.
+# pid space is ~10% larger than the documents table so the left join has
+# genuine misses, defaulted like LogEntrySolrItem.java:222-256 (size → 0).
+# --------------------------------------------------------------------------
+
+SYSMETA_SQL_TEMPLATE = """
+SELECT
+  'doc-' || cast(d.doc_id AS string)                 AS pid,
+  'fmt-' || d.lang                                   AS format_id,
+  CASE WHEN d.doc_id % 3 = 0 THEN 'METADATA'
+       WHEN d.doc_id % 3 = 1 THEN 'DATA'
+       ELSE 'RESOURCE' END                           AS format_type,
+  cast(d.n_chars AS bigint)                          AS size,
+  'org-' || cast(d.doc_id % 7 AS string)             AS rights_holder
+FROM {documents} d
+"""
+
+
+def sysmeta_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "_dims_documents"
+    )
+    return spark.sql(SYSMETA_SQL_TEMPLATE.format(documents="_dims_documents"))
+
+
+def sysmeta_sql() -> str:
+    return SYSMETA_SQL_TEMPLATE.format(documents="documents")

@@ -1,0 +1,74 @@
+"""Enrichment joins: sysmeta + node-registry/geo (broadcast dimensions).
+
+Reference behavior being reproduced (SURVEY §2.3):
+- J1: pid → SystemMetadata, LEFT OUTER, misses tolerated with defaults
+  (size → 0, LogEntrySolrItem.java:222-256; Hazelcast map get at
+  LogHarvesterTask.java:346-349).
+- J2: formatId → formatType second-level lookup (ObjectFormatCache,
+  LogEntrySolrItem.java:232-247) — folded into the sysmeta dim here.
+- J3: ip → (country, region, city, lat, lon) GeoIP point lookup
+  (GeoIPService.java:78-106) + derived "lat, lon" string (%.4f,
+  LogEntrySolrItem.java:300-302) and geohash prefixes 1..9
+  (LogEntrySolrItem.java:304-314).
+
+Both dims broadcast (they are small); at 100 TB the sysmeta dim may grow
+past the broadcast threshold, in which case Catalyst/AQE falls back to a
+shuffled hash join on pid — correct either way because the join is
+declared, not hand-scheduled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.geohash import geohash9
+
+
+def registry_key_col() -> F.Column:
+    """ip → registry key: second octet mod 25 (the synthetic nation id).
+
+    The reference's GeoIP db is a range-keyed binary file (an interval join
+    in disguise); our registry analog is equi-keyed per BASELINE.json
+    north_star ("broadcast-joined node-registry/geo-style lookup")."""
+    return (
+        F.split_part(F.col("ip"), F.lit("."), F.lit(2)).cast("int") % 25
+    )
+
+
+REGISTRY_KEY_SQL = "cast(split_part(ip, '.', 2) AS int) % 25"
+
+
+def enrich_registry(parsed: DataFrame, registry: DataFrame) -> DataFrame:
+    """LEFT join on registry_key; non-IPv4 ips get NULL geo fields (the
+    reference skips location fields when GeoIP lookup fails)."""
+    keyed = parsed.withColumn(
+        "registry_key",
+        F.when(F.col("ip_long").isNotNull(), registry_key_col()),
+    )
+    out = keyed.join(F.broadcast(registry), "registry_key", "left")
+    return out.withColumn(
+        "location",
+        F.when(
+            F.col("lat").isNotNull(),
+            F.format_string("%.4f, %.4f", F.col("lat"), F.col("lon")),
+        ),
+    )
+
+
+def with_geohashes(df: DataFrame, precision_cols: bool = True) -> DataFrame:
+    """geohash_1..geohash_9 prefixes of the 9-char geohash (F6)."""
+    out = df.withColumn("geohash_9", geohash9(F.col("lat"), F.col("lon")))
+    if precision_cols:
+        for p in range(1, 9):
+            out = out.withColumn(
+                f"geohash_{p}", F.substring(F.col("geohash_9"), 1, p)
+            )
+    return out
+
+
+def enrich_sysmeta(parsed: DataFrame, sysmeta: DataFrame) -> DataFrame:
+    """LEFT join pid → sysmeta with reference defaults on miss:
+    size → 0 (F9, LogEntrySolrItem.java:251-256), formatId/type → NULL."""
+    out = parsed.join(F.broadcast(sysmeta), "pid", "left")
+    return out.withColumn("size", F.coalesce(F.col("size"), F.lit(0)))

@@ -1,0 +1,84 @@
+"""Vectorized grok/regex parse of raw turn ``text`` → event fields.
+
+The analog of the reference's input projection: ``LogEntry`` fields arrive
+pre-split over REST (entryId, pid, ipAddress, userAgent, subject, event —
+LogEntrySolrItem.java:174-207); our events arrive embedded in free text, so
+this stage extracts them with JVM-side ``regexp_extract`` (whole-stage
+codegen; no Python).
+
+Validity flags drive routing (SURVEY §2.2 P3/P4): blank pid → DLQ (the
+reference logs + skips, LogHarvesterTask.java:338-341); unparsable text →
+DLQ.  A non-IPv4 ip does NOT DLQ the row — geo enrichment is left-outer
+tolerated, like the sysmeta join (LogHarvesterTask.java:364-373).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.net import ip_to_long
+
+# The embedded event line (FIXTURES.md §1):
+# EVT type=<t> pid=<id> ip=<ip> ua="<ua>" subj="<principal>"
+RE_EVT = r"EVT type=([a-z]+) "
+RE_PID = r" pid=(\S*) ip="
+RE_IP = r" ip=(\S+) ua="
+RE_UA = r' ua="([^"]*)"'
+RE_SUBJ = r' subj="([^"]*)"'
+
+# v1-convertible event types (versionCompliance derivation,
+# LogEntrySolrItem.java:202-206: v1 iff the event maps into the v1 enum).
+V1_EVENTS = ["read", "create", "update", "delete", "replicate"]
+
+
+def event_id_col(conv_id: str = "conv_id", turn_idx: str = "turn_idx") -> Column:
+    """Globally-unique idempotent identity: the analog of
+    ``id = nodeId + "." + entryId`` (LogHarvesterTask.java:431-435)."""
+    return F.concat_ws(".", F.col(conv_id), F.col(turn_idx).cast("string"))
+
+
+def parse_events(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) → + parsed cols.
+
+    Adds: event_id, event, pid, ip, ua, subj, ip_long, schema_version,
+    is_parsable, has_pid.
+    """
+    df = transcripts.withColumns(
+        {
+            "event_id": event_id_col(),
+            "event": F.regexp_extract("text", RE_EVT, 1),
+            "pid": F.regexp_extract("text", RE_PID, 1),
+            "ip": F.regexp_extract("text", RE_IP, 1),
+            "ua": F.regexp_extract("text", RE_UA, 1),
+            "subj": F.regexp_extract("text", RE_SUBJ, 1),
+        }
+    )
+    return df.withColumns(
+        {
+            "ip_long": ip_to_long(F.col("ip")),
+            # P2 versionCompliance analog
+            "schema_version": F.when(
+                F.col("event").isin(V1_EVENTS), F.lit("v1")
+            ).otherwise(F.lit("v2")),
+            "is_parsable": F.col("event") != "",
+            "has_pid": F.col("pid") != "",
+        }
+    )
+
+
+# ---- Oracle-side equivalents (DuckDB SQL fragments) ----------------------
+
+def parse_sql_columns(text_col: str = "text") -> dict[str, str]:
+    """DuckDB expressions mirroring parse_events, keyed by output column.
+
+    DuckDB's regexp_extract(str, pat, group) returns '' on no-match, same
+    as Spark's.
+    """
+    return {
+        "event": f"regexp_extract({text_col}, 'EVT type=([a-z]+) ', 1)",
+        "pid": f"regexp_extract({text_col}, ' pid=(\\S*) ip=', 1)",
+        "ip": f"regexp_extract({text_col}, ' ip=(\\S+) ua=', 1)",
+        "ua": f"regexp_extract({text_col}, ' ua=\"([^\"]*)\"', 1)",
+        "subj": f"regexp_extract({text_col}, ' subj=\"([^\"]*)\"', 1)",
+    }

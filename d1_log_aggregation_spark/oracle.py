@@ -1,0 +1,217 @@
+"""DuckDB oracle SQL for every pipeline stage.
+
+The driver runs each ``queries()[name]`` Spark DataFrame against the
+matching ``oracle_sql()[name]`` on views (region nation customer supplier
+part orders lineitem events documents embeddings).  The transcripts input is
+derived from ``events``/``documents`` by the SAME SQL template on both sides
+(transcripts.py), so stage outputs are comparable bit-for-bit.
+
+This module builds one WITH-chain reproducing pipeline.py stage by stage:
+
+  t    transcripts                 (shared template)
+  d    dedup rank-1                (dedup.py)
+  p    parse + event_id + ip_long  (parse.py / functions.net)
+  c    robot classification        (classify.py)
+  rvs  repeat-visit anchor scan    (repeat_visit.py — RECURSIVE CTE)
+  reg  registry dim                (dims.registry_sql)
+  sm   sysmeta dim                 (dims.sysmeta_sql)
+  e    enriched + stamped          (enrich.py + P5 stamps)
+  r    routed (sink, tool_sink)    (route.py)
+"""
+
+from __future__ import annotations
+
+from .dims import registry_sql, sysmeta_sql
+from .functions.net import ip_to_long_sql
+from .operators.classify import classify_sql_columns
+from .operators.parse import parse_sql_columns
+from .operators.route import ROUTE_SINK_SQL, ROUTE_TOOL_SQL
+from .transcripts import transcripts_ctes, transcripts_sql
+
+V1_EVENTS_SQL = "('read', 'create', 'update', 'delete', 'replicate')"
+
+DATE_AGGREGATED = "2026-01-01 00:00:00"
+
+# sf-level repeat-visit interval: events are day-scale sparse, so the
+# 30 s production default (logAggregation.properties:24) would never fire
+# on the synthetic corpus; unit tests cover 30 s on dense hand-built data.
+SF_REPEAT_INTERVAL_SECONDS = 259_200  # 3 days
+
+
+def routed_cte(
+    interval_seconds: int = SF_REPEAT_INTERVAL_SECONDS,
+) -> str:
+    """WITH-chain text ending at CTE ``r`` = full routed relation."""
+    p_cols = parse_sql_columns("text")
+    c_cols = classify_sql_columns()
+    usec = (interval_seconds + 1) * 1_000_000
+    return f"""
+WITH RECURSIVE {transcripts_ctes()},
+d AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM (
+    SELECT t.*, row_number() OVER (
+      PARTITION BY conv_id, turn_idx
+      ORDER BY text ASC NULLS FIRST, ts ASC NULLS FIRST,
+               role ASC NULLS FIRST, tool ASC NULLS FIRST
+    ) AS _rk FROM t
+  ) WHERE _rk = 1
+),
+p0 AS (
+  SELECT d.*,
+    conv_id || '.' || cast(turn_idx AS string) AS event_id,
+    {p_cols['event']} AS event,
+    {p_cols['pid']} AS pid,
+    {p_cols['ip']} AS ip,
+    {p_cols['ua']} AS ua,
+    {p_cols['subj']} AS subj
+  FROM d
+),
+p AS (
+  SELECT p0.*,
+    {ip_to_long_sql('ip')} AS ip_long,
+    CASE WHEN event IN {V1_EVENTS_SQL} THEN 'v1' ELSE 'v2' END
+      AS schema_version,
+    (event <> '') AS is_parsable,
+    (pid <> '') AS has_pid
+  FROM p0
+),
+c AS (
+  SELECT p.*,
+    {c_cols['in_partial_robot_list']} AS in_partial_robot_list,
+    {c_cols['in_full_robot_list']} AS in_full_robot_list
+  FROM p
+),
+_rv_rows AS (
+  SELECT event_id, ip, pid, ts,
+         row_number() OVER (
+           PARTITION BY ip, pid ORDER BY ts, conv_id, turn_idx
+         ) AS rn
+  FROM c WHERE lower(trim(event)) IN ('read')
+),
+_rv_scan AS (
+  SELECT event_id, ip, pid, ts, rn, ts AS anchor, false AS is_repeat
+  FROM _rv_rows WHERE rn = 1
+  UNION ALL
+  SELECT x.event_id, x.ip, x.pid, x.ts, x.rn,
+         CASE WHEN x.ts > s.anchor
+                   AND epoch_us(x.ts) < epoch_us(s.anchor) + {usec}
+              THEN s.anchor ELSE x.ts END,
+         (x.ts > s.anchor
+          AND epoch_us(x.ts) < epoch_us(s.anchor) + {usec})
+  FROM _rv_scan s
+  JOIN _rv_rows x ON x.ip = s.ip AND x.pid = s.pid AND x.rn = s.rn + 1
+),
+rv AS (
+  SELECT c.*, coalesce(s.is_repeat, false) AS is_repeat_visit
+  FROM c LEFT JOIN _rv_scan s ON c.event_id = s.event_id
+),
+reg AS (
+{registry_sql()}
+),
+sm AS (
+{sysmeta_sql()}
+),
+e AS (
+  SELECT rv.*,
+    reg.node_id, reg.country, reg.region, reg.city, reg.lat, reg.lon,
+    CASE WHEN reg.lat IS NOT NULL
+         THEN printf('%.4f, %.4f', reg.lat, reg.lon) END AS location,
+    sm.format_id, sm.format_type,
+    coalesce(sm.size, 0) AS size, sm.rights_holder,
+    timestamp '{DATE_AGGREGATED}' AS date_aggregated,
+    timestamp '1900-01-01 00:00:00' AS date_updated
+  FROM rv
+  LEFT JOIN reg
+    ON rv.ip_long IS NOT NULL
+   AND reg.registry_key = {ip_to_long_reg_key()}
+  LEFT JOIN sm ON rv.pid = sm.pid
+),
+r AS (
+  SELECT e.*,
+    {ROUTE_SINK_SQL} AS sink,
+    {ROUTE_TOOL_SQL} AS tool_sink
+  FROM e
+)
+"""
+
+
+def ip_to_long_reg_key() -> str:
+    # TRY_CAST: DuckDB's cast('' AS int) errors (Spark yields NULL); the
+    # condition only fires for valid IPv4 anyway (ip_long IS NOT NULL).
+    return "try_cast(split_part(rv.ip, '.', 2) AS int) % 25"
+
+
+# --------------------------------------------------------------------------
+# Per-query oracle SQL (keys match __spark_entry__.queries()).
+# --------------------------------------------------------------------------
+
+ROUTED_PROJECTION = """
+  event_id, conv_id, turn_idx, role, tool, ts, event, pid, ip, ua, subj,
+  schema_version, node_id, country, region, city, lat, lon, location,
+  format_id, format_type, size, rights_holder,
+  in_partial_robot_list, in_full_robot_list, is_repeat_visit,
+  date_aggregated, date_updated, sink, tool_sink
+"""
+
+
+def oracle_queries() -> dict[str, str]:
+    base = routed_cte()
+    return {
+        "transcripts": f"""WITH t AS ({transcripts_sql()})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t""",
+        "dedup_turns": base
+        + "SELECT conv_id, turn_idx, role, text, tool, ts FROM d",
+        "parse_events": base
+        + """SELECT event_id, conv_id, turn_idx, event, pid, ip, ua, subj,
+  ip_long, schema_version, is_parsable, has_pid FROM p""",
+        "robot_flags": base
+        + """SELECT event_id, in_partial_robot_list, in_full_robot_list
+FROM c""",
+        "repeat_visits": base
+        + "SELECT event_id, is_repeat_visit FROM rv",
+        "enrich_registry": base
+        + """SELECT event_id, node_id, country, region, city, lat, lon,
+  location FROM e""",
+        "enrich_sysmeta": base
+        + """SELECT event_id, format_id, format_type, size, rights_holder
+FROM e""",
+        "routed_rows": base + f"SELECT {ROUTED_PROJECTION} FROM r",
+        "sink_counts": base
+        + """SELECT sink,
+  count(*) AS n_rows,
+  cast(sum(CASE WHEN in_full_robot_list THEN 1 ELSE 0 END) AS bigint)
+    AS n_robot_full,
+  cast(sum(CASE WHEN in_partial_robot_list THEN 1 ELSE 0 END) AS bigint)
+    AS n_robot_partial,
+  cast(sum(CASE WHEN is_repeat_visit THEN 1 ELSE 0 END) AS bigint)
+    AS n_repeat_visit,
+  max(ts) AS max_ts,
+  max(turn_idx) AS max_turn_idx
+FROM r GROUP BY sink ORDER BY sink""",
+        "tool_sink_counts": base
+        + """SELECT tool_sink, count(*) AS n_rows, max(ts) AS max_ts
+FROM r WHERE tool_sink IS NOT NULL GROUP BY tool_sink ORDER BY tool_sink""",
+        "harvest_metrics": base
+        + """SELECT count(*) AS retrieved,
+  cast(sum(CASE WHEN sink <> 'dlq' THEN 1 ELSE 0 END) AS bigint) AS submitted,
+  cast(sum(CASE WHEN sink = 'dlq' THEN 1 ELSE 0 END) AS bigint) AS dlq_rows
+FROM r""",
+        "checkpoint_rows": base
+        + """SELECT conv_id AS partition_key,
+  max(turn_idx) AS max_turn_idx,
+  max(ts) AS max_ts,
+  count(*) AS n_rows
+FROM r WHERE sink <> 'dlq'
+GROUP BY conv_id ORDER BY partition_key""",
+        # flagship: the reference's headline question — non-robot,
+        # non-repeat read events per role (SURVEY §7.2)
+        "flagship_clean_reads_per_role": base
+        + """SELECT role,
+  count(*) AS n_clean_reads,
+  count(DISTINCT pid) AS n_distinct_pids
+FROM r
+WHERE sink <> 'dlq' AND event = 'read'
+  AND NOT in_full_robot_list AND NOT in_partial_robot_list
+  AND NOT is_repeat_visit
+GROUP BY role ORDER BY role""",
+    }

@@ -1,0 +1,82 @@
+"""COUNTER robot classification semantics (LogEntrySolrItem.java:331-442).
+
+Covers the UA-regex / IP-CIDR interaction table:
+- blank UA → UA flags false
+- robot UA (one or both lists)
+- IP check runs only when NOT both-true; blank/malformed ip then forces
+  BOTH false; robot ip forces BOTH true
+- non-read events are never classified
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from d1_log_aggregation_spark.functions.net import ip_to_long
+from d1_log_aggregation_spark.operators.classify import classify_robots
+
+GOOGLEBOT = "Googlebot/2.1 (+http://www.google.com/bot.html)"  # full+partial
+CHINA = "Mozilla/4.0 (compatible; MSIE 7.0; China Local Browse 2.6)"  # full only
+CURL = "curl/7.81.0"  # partial only
+HUMAN = "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+ROBOT_IP = "10.3.22.40"   # inside 10.3.0.0/16
+CLEAN_IP = "10.99.1.2"    # in no robot range
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(
+        [(i, ev, ua, ip) for i, (ev, ua, ip) in enumerate(rows)],
+        "id int, event string, ua string, ip string",
+    ).withColumn("ip_long", ip_to_long(F.col("ip")))
+    out = classify_robots(df)
+    return {
+        r["id"]: (r["in_partial_robot_list"], r["in_full_robot_list"])
+        for r in out.collect()
+    }
+
+
+def test_classification_matrix(spark):
+    got = _run(
+        spark,
+        [
+            ("read", HUMAN, CLEAN_IP),       # 0: clean
+            ("read", GOOGLEBOT, CLEAN_IP),   # 1: both via UA → ip check skipped
+            ("read", CHINA, CLEAN_IP),       # 2: full only; ip clean → stays
+            ("read", CURL, CLEAN_IP),        # 3: partial only
+            ("read", HUMAN, ROBOT_IP),       # 4: robot ip → both true
+            ("read", CHINA, ROBOT_IP),       # 5: check runs (not both) → both
+            ("read", GOOGLEBOT, "sampleBogusIP"),  # 6: both-true → skip → stay
+            ("read", CHINA, "sampleBogusIP"),      # 7: check runs, bad ip → BOTH false
+            ("read", CURL, ""),              # 8: check runs, blank ip → BOTH false
+            ("read", "", CLEAN_IP),          # 9: blank UA → false/false
+            ("create", GOOGLEBOT, ROBOT_IP), # 10: not in events_to_check
+        ],
+    )
+    assert got[0] == (False, False)
+    assert got[1] == (True, True)
+    assert got[2] == (False, True)
+    assert got[3] == (True, False)
+    assert got[4] == (True, True)
+    assert got[5] == (True, True)
+    assert got[6] == (True, True)
+    assert got[7] == (False, False)
+    assert got[8] == (False, False)
+    assert got[9] == (False, False)
+    assert got[10] == (False, False)
+
+
+def test_subnetutils_exclusive_bounds(spark):
+    # 10.3.0.0/16: network .0.0 and broadcast .255.255 are NOT in range
+    got = _run(
+        spark,
+        [
+            ("read", HUMAN, "10.3.0.0"),
+            ("read", HUMAN, "10.3.255.255"),
+            ("read", HUMAN, "10.3.0.1"),
+            ("read", HUMAN, "10.3.255.254"),
+        ],
+    )
+    assert got[0] == (False, False)
+    assert got[1] == (False, False)
+    assert got[2] == (True, True)
+    assert got[3] == (True, True)

@@ -1,0 +1,84 @@
+"""Parse + dedup unit tests, including order-invariance (SURVEY §5 item 5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from d1_log_aggregation_spark.operators.dedup import dedup_turns
+from d1_log_aggregation_spark.operators.parse import parse_events
+
+T0 = dt.datetime(2024, 1, 1)
+
+LINE = (
+    'EVT type=read pid=doc-7 ip=10.5.6.7 ua="curl/7.81.0" '
+    'subj="user-5" turn#42'
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+
+def test_parse_fields(spark):
+    df = _df(spark, [("c1", 0, "user", LINE, "bash", T0)])
+    r = parse_events(df).collect()[0]
+    assert r["event_id"] == "c1.0"
+    assert r["event"] == "read"
+    assert r["pid"] == "doc-7"
+    assert r["ip"] == "10.5.6.7"
+    assert r["ua"] == "curl/7.81.0"
+    assert r["subj"] == "user-5"
+    assert r["ip_long"] == (10 << 24) + (5 << 16) + (6 << 8) + 7
+    assert r["schema_version"] == "v1"
+    assert r["is_parsable"] and r["has_pid"]
+
+
+def test_parse_dirty_rows(spark):
+    rows = [
+        ("c1", 0, "user", "free-form turn without an event line #9", "", T0),
+        ("c1", 1, "user", 'EVT type=read pid= ip=1.2.3.4 ua="x" subj="s" t', "", T0),
+        ("c1", 2, "user", 'EVT type=read pid=d ip=sampleBogusIP ua="x" subj="s" t', "", T0),
+        ("c1", 3, "user", 'EVT type=read pid=d ip=2001:4898:80e0:ee43::3 ua="x" subj="s" t', "", T0),
+        ("c1", 4, "user", 'EVT type=read pid=d ip=1.2.3.999 ua="x" subj="s" t', "", T0),
+    ]
+    out = {r["turn_idx"]: r for r in parse_events(_df(spark, rows)).collect()}
+    assert not out[0]["is_parsable"]
+    assert out[1]["is_parsable"] and not out[1]["has_pid"]
+    assert out[2]["ip_long"] is None  # bogus
+    assert out[3]["ip_long"] is None  # ipv6
+    assert out[4]["ip_long"] is None  # octet > 255
+
+
+def test_dedup_exact_and_retry(spark):
+    rows = [
+        ("c1", 0, "user", LINE, "", T0),
+        ("c1", 0, "user", LINE, "", T0),              # exact dup
+        ("c1", 1, "user", LINE + " RETRY", "", T0),   # retry dup, sorts later
+        ("c1", 1, "user", LINE, "", T0),
+        ("c2", 0, "tool", LINE, "", T0),
+    ]
+    out = dedup_turns(_df(spark, rows)).collect()
+    assert len(out) == 3
+    survivors = {(r["conv_id"], r["turn_idx"]): r["text"] for r in out}
+    assert survivors[("c1", 1)] == LINE  # rank-1 = text asc → original wins
+
+
+def test_dedup_order_invariance(spark):
+    """Shuffled input must yield identical survivors (north_rule: per-turn
+    text equality under stable (conv_id, turn_idx) ordering)."""
+    rows = [
+        ("c%d" % (i % 5), i // 5, "user", LINE + (" RETRY" if i % 3 == 0 else ""), "", T0)
+        for i in range(60)
+    ]
+    a = dedup_turns(_df(spark, rows)).orderBy("conv_id", "turn_idx").collect()
+    b = (
+        dedup_turns(_df(spark, list(reversed(rows))).repartition(7))
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert a == b

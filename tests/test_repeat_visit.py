@@ -1,0 +1,75 @@
+"""W1 repeat-visit semantics (LogEntrySolrItem.java:444-474).
+
+The anchor only advances on NON-repeat rows; bounds are strict:
+repeat ⇔ anchor < t < anchor + (interval+1 s).  t == anchor re-anchors
+(flag false).  Only events in events_to_check touch the state at all.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+
+from d1_log_aggregation_spark.operators.repeat_visit import (
+    anchor_scan,
+    flag_repeat_visits,
+)
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _mk(spark, rows):
+    # rows: (event_id, event, ip, pid, offset_seconds)
+    data = [
+        (eid, ev, ip, pid, "c1", i, T0 + dt.timedelta(seconds=off))
+        for i, (eid, ev, ip, pid, off) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id string, event string, ip string, pid string, "
+        "conv_id string, turn_idx int, ts timestamp",
+    )
+
+
+def test_anchor_scan_reference_vectors():
+    # interval 30 s → +1 s exclusive end = 31 s
+    us = 31 * 1_000_000
+    offs = [0, 5, 15, 29, 31, 35, 61, 62, 62]
+    ts = np.array([o * 1_000_000 for o in offs], dtype=np.int64)
+    got = anchor_scan(ts, us).tolist()
+    # 0: anchor=0 false | 5,15,29: repeat | 31: 31<31 false → re-anchor
+    # 35: 31<35<62 repeat | 61: repeat | 62: 62<62 false → re-anchor
+    # 62 again: t == anchor → NOT after → re-anchor, false
+    assert got == [False, True, True, True, False, True, True, False, False]
+
+
+def test_flag_repeat_visits_df(spark):
+    rows = [
+        ("e0", "read", "1.1.1.1", "d1", 0),
+        ("e1", "read", "1.1.1.1", "d1", 5),
+        ("e2", "read", "1.1.1.1", "d1", 29),
+        ("e3", "read", "1.1.1.1", "d1", 31),   # re-anchor
+        ("e4", "read", "1.1.1.1", "d1", 35),   # repeat vs 31
+        ("e5", "create", "1.1.1.1", "d1", 36), # not checked → false, no state
+        ("e6", "read", "1.1.1.1", "d2", 3),    # other pid → own anchor
+        ("e7", "read", "2.2.2.2", "d1", 4),    # other ip → own anchor
+    ]
+    out = flag_repeat_visits(_mk(spark, rows), interval_seconds=30)
+    got = {r["event_id"]: r["is_repeat_visit"] for r in out.collect()}
+    assert got == {
+        "e0": False, "e1": True, "e2": True, "e3": False, "e4": True,
+        "e5": False, "e6": False, "e7": False,
+    }
+
+
+def test_non_checked_events_do_not_touch_state(spark):
+    # a create between two reads must not re-anchor or count
+    rows = [
+        ("e0", "read", "1.1.1.1", "d1", 0),
+        ("e1", "create", "1.1.1.1", "d1", 10),
+        ("e2", "read", "1.1.1.1", "d1", 20),  # repeat vs anchor 0
+    ]
+    out = flag_repeat_visits(_mk(spark, rows), interval_seconds=30)
+    got = {r["event_id"]: r["is_repeat_visit"] for r in out.collect()}
+    assert got == {"e0": False, "e1": False, "e2": True}
