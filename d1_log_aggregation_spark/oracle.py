@@ -146,7 +146,7 @@ def ip_to_long_reg_key() -> str:
 # --------------------------------------------------------------------------
 
 ROUTED_PROJECTION = """
-  event_id, conv_id, turn_idx, role, tool, ts, event, pid, ip, ua, subj,
+  event_id, conv_id, turn_idx, role, tool, ts, text, event, pid, ip, ua, subj,
   schema_version, node_id, country, region, city, lat, lon, location,
   format_id, format_type, size, rights_holder,
   in_partial_robot_list, in_full_robot_list, is_repeat_visit,

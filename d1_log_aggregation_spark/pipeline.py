@@ -51,7 +51,7 @@ class PipelineConfig:
 
 # Routed-row output schema (the LogEntrySolrItem analog, §1.2/§1.3).
 ROUTED_COLUMNS = [
-    "event_id", "conv_id", "turn_idx", "role", "tool", "ts",
+    "event_id", "conv_id", "turn_idx", "role", "tool", "ts", "text",
     "event", "pid", "ip", "ua", "subj", "schema_version",
     "node_id", "country", "region", "city", "lat", "lon", "location",
     "format_id", "format_type", "size", "rights_holder",

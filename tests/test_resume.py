@@ -1,0 +1,106 @@
+"""Resumability + idempotent snapshot commits (SURVEY §5 items 3-4).
+
+- incremental: run over first half of time, then full input → second run
+  processes only the tail; merged sinks equal a single full run
+- kill-resume: a run that wrote data but DIED BEFORE COMMIT leaves
+  invisible garbage; the re-run reproduces the full result
+- double-run: re-running the same input is a no-op after dedup-on-read
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from d1_log_aggregation_spark import checkpoint as cp
+from d1_log_aggregation_spark import dims
+from d1_log_aggregation_spark.job import run_harvest
+from d1_log_aggregation_spark.oracle import SF_REPEAT_INTERVAL_SECONDS
+from d1_log_aggregation_spark.pipeline import PipelineConfig, run_pipeline
+from d1_log_aggregation_spark.sinks import writer
+from d1_log_aggregation_spark.transcripts import load_transcripts
+
+SF = "/root/testdata/sf0.001"
+CFG = PipelineConfig(
+    repeat_visit_interval_seconds=SF_REPEAT_INTERVAL_SECONDS,
+    with_geohash=False,
+)
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r["event_id"], r["text"], r["sink"]) for r in df.collect()
+    )
+
+
+def _full_run_rows(spark):
+    t = load_transcripts(spark, SF)
+    return _sorted_rows(
+        run_pipeline(
+            t, dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF), CFG
+        ).select("event_id", "text", "sink")
+    )
+
+
+def test_incremental_then_full_equals_single_run(spark, tmp_path):
+    out = str(tmp_path / "sinks")
+    t = load_transcripts(spark, SF)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+    split_ts = "2024-01-15 00:00:00"
+
+    r1 = run_harvest(
+        spark, t.filter(F.col("ts") < split_ts), reg, sm, out, CFG, "run1"
+    )
+    assert r1["n_routed"] > 0
+    # second run sees the FULL input but must only process the tail
+    r2 = run_harvest(spark, t, reg, sm, out, CFG, "run2")
+    assert 0 < r2["n_routed"] < r1["n_routed"] + r2["n_routed"]
+
+    merged = writer.read_sinks(spark, out).select("event_id", "text", "sink")
+    assert _sorted_rows(merged) == _full_run_rows(spark)
+
+
+def test_kill_before_commit_is_invisible_and_resumable(spark, tmp_path):
+    out = str(tmp_path / "sinks")
+    os.makedirs(out)
+    t = load_transcripts(spark, SF)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+
+    # simulate a killed run: data written, no commit pointer, no checkpoint
+    doomed = run_pipeline(t.filter(F.col("ts") < "2024-01-10"), reg, sm, CFG)
+    doomed.write.mode("overwrite").partitionBy("sink").parquet(
+        f"{out}/run=killed"
+    )
+    assert writer.read_commits(out) == []
+
+    # resume: a fresh full run sees no checkpoint → processes everything
+    run_harvest(spark, t, reg, sm, out, CFG, "recovery")
+    merged = writer.read_sinks(spark, out).select("event_id", "text", "sink")
+    assert _sorted_rows(merged) == _full_run_rows(spark)
+
+
+def test_double_run_is_noop(spark, tmp_path):
+    out = str(tmp_path / "sinks")
+    t = load_transcripts(spark, SF)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+
+    run_harvest(spark, t, reg, sm, out, CFG, "a")
+    ra = _sorted_rows(writer.read_sinks(spark, out).select("event_id", "text", "sink"))
+
+    # second run: checkpoint filters everything → skipped, no new snapshot
+    r2 = run_harvest(spark, t, reg, sm, out, CFG, "b")
+    assert r2.get("skipped") is True
+    rb = _sorted_rows(writer.read_sinks(spark, out).select("event_id", "text", "sink"))
+    assert ra == rb
+
+    # even a FORCED duplicate snapshot is absorbed by dedup-on-read
+    routed = run_pipeline(t, reg, sm, CFG)
+    writer.write_snapshot(routed, out, "forced-dup")
+    rc = _sorted_rows(writer.read_sinks(spark, out).select("event_id", "text", "sink"))
+    assert ra == rc
+
+    # and compaction preserves the row set
+    writer.compact(spark, out, "compacted")
+    rd = _sorted_rows(writer.read_sinks(spark, out).select("event_id", "text", "sink"))
+    assert ra == rd
