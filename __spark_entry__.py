@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from d1_log_aggregation_spark import dims, oracle
+from d1_log_aggregation_spark.datapipe import ann as dp_ann
+from d1_log_aggregation_spark.datapipe import dedup as dp_dedup
+from d1_log_aggregation_spark.datapipe import multimodal as dp_mm
+from d1_log_aggregation_spark.datapipe import oracle as dp_oracle
+from d1_log_aggregation_spark.datapipe import textstats as dp_text
+from d1_log_aggregation_spark.datapipe.corpus import load_corpus
 from d1_log_aggregation_spark.operators.aggregate import (
     harvest_metrics,
     sink_counts,
@@ -139,6 +145,82 @@ def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- datapipe queries (training-data ops over documents/embeddings) -------
+
+TEXTSTATS_COLS = [
+    "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_alpha", "n_digit",
+    "n_punct", "n_stopwords", "alpha_ratio", "punct_ratio",
+    "stopword_ratio", "mean_token_len", "quality_ok", "lang_id",
+    "fingerprint", "fingerprint64",
+]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dp_text.with_fingerprint(
+        dp_text.with_lang_id(dp_text.with_textstats(_docs(spark, sf_dir)))
+    )
+    return df.select(*TEXTSTATS_COLS)
+
+
+def _q_lang_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = dp_text.with_lang_id(dp_text.with_textstats(_docs(spark, sf_dir)))
+    return (
+        df.groupBy("lang_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("quality_ok").cast("int"))
+            .cast("long")
+            .alias("n_quality"),
+            F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        )
+        .orderBy("lang_id")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.exact_duplicates(load_corpus(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.jaccard_pairs(load_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.minhash_signatures(load_corpus(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.minhash_lsh_pairs(load_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.simhash(load_corpus(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.simhash_pairs(load_corpus(spark, sf_dir), max_hamming=3)
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_ann.brute_force_topk(_embs(spark, sf_dir))
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_ann.ivf_topk(_embs(spark, sf_dir))
+
+
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_mm.multimodal_features(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -154,8 +236,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_metrics": _q_harvest_metrics,
         "checkpoint_rows": _q_checkpoint_rows,
         "flagship_clean_reads_per_role": _q_flagship,
+        # training-data pipeline ops
+        "doc_textstats": _q_doc_textstats,
+        "lang_quality_counts": _q_lang_quality_counts,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "minhash_signatures": _q_minhash_sigs,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_bruteforce_topk": _q_ann_brute,
+        "ann_ivf_topk": _q_ann_ivf,
+        "multimodal_features": _q_multimodal,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    return oracle.oracle_queries()
+    out = oracle.oracle_queries()
+    out.update(
+        {
+            "doc_textstats": dp_oracle.doc_textstats_sql(),
+            "lang_quality_counts": dp_oracle.lang_quality_counts_sql(),
+            "dedup_exact": dp_oracle.dedup_exact_sql(),
+            "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
+            "minhash_signatures": dp_oracle.minhash_signatures_sql(),
+            "minhash_lsh_pairs": dp_oracle.minhash_lsh_pairs_sql(0.5),
+            "simhash": dp_oracle.simhash_sql(),
+            "simhash_pairs": dp_oracle.simhash_pairs_sql(3),
+            "ann_bruteforce_topk": dp_oracle.brute_force_topk_sql(),
+            "ann_ivf_topk": dp_oracle.ivf_topk_sql(),
+            "multimodal_features": dp_oracle.multimodal_features_sql(),
+        }
+    )
+    return out

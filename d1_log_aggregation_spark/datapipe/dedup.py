@@ -1,0 +1,298 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline operators over the ``documents`` table.  Design
+rules:
+
+- everything is DataFrame ops (explode → hash → groupBy min/sum → join);
+  NO Python in the hot path — MinHash signatures are 16 ``min()``
+  aggregates, SimHash is 32 ``sum()`` bit votes, all whole-stage codegen;
+- the token/shingle hash is md5-derived (first 8 hex chars as uint32) so
+  the DuckDB oracle reproduces every signature bit-for-bit;
+- candidate generation never goes quadratic: Jaccard pairs come from an
+  inverted shingle index (with a document-frequency cap dropping
+  stop-shingles), MinHash pairs from LSH band buckets, SimHash pairs from
+  byte-band buckets (pigeonhole: hamming ≤ 3 over 4 bands ⇒ ≥1 band
+  equal).  At 100 TB each is a hash-shuffle on the band/shingle key and
+  the frequency caps bound worst-case bucket sizes.
+
+Scale notes: explode(shingles) is the big shuffle; its key distribution is
+capped by MAX_SHINGLE_DF.  Signatures/fingerprints are one narrow row per
+document — the pair-join sides stay small relative to the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed MinHash permutation constants: a < 2^20 keeps a*h below 2^52 —
+# exact in int64 on both engines (and even in a double)
+MINHASH_A = [
+    563059, 926969, 825611, 737767, 357317, 842747, 281557, 779347,
+    121823, 429733, 643063, 921577, 486041, 294979, 744377, 618439,
+]
+MINHASH_B = [
+    153083, 905443, 680621, 441673, 897313, 214729, 80141, 543091,
+    477797, 340117, 220861, 772669, 969863, 351197, 90281, 666851,
+]
+MINHASH_P = 4294967311  # prime > 2^32
+N_HASHES = 16
+N_BANDS = 8  # 2 rows per band
+SIMHASH_BITS = 32
+MAX_SHINGLE_DF = 1000  # stop-shingle cap (tune per corpus)
+
+
+def norm_text(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def hash32(col: Column) -> Column:
+    """Deterministic 32-bit token hash both engines can reproduce:
+    first 8 hex chars of md5 as unsigned int."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+HASH32_SQL = "try_cast(('0x' || substr(md5({c}), 1, 8)) AS bigint)"
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles of normalized text (empty when < k words)."""
+    tokens = F.split(norm_text(text), " ")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tokens, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.array_distinct(F.transform(idx, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles_sql(text_col: str, k: int = 3) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    toks = f"string_split({norm}, ' ')"
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}),"
+        f" i -> {parts})) ELSE [] END"
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. Exact dedup: hash-groupBy on the normalized-text fingerprint.
+# --------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, group_size) for every doc in a dup group >1.
+    canonical = min doc_id (deterministic survivor)."""
+    fp = docs.select(
+        "doc_id", F.md5(norm_text(F.col(text_col))).alias("fingerprint")
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        fp.join(groups, "fingerprint")
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. N-gram Jaccard near-dup via inverted shingle index.
+# --------------------------------------------------------------------------
+
+def jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b, jaccard) with jaccard ≥ threshold.
+
+    inverted index join: explode shingles, drop shingles shared by more
+    than max_shingle_df docs (quadratic-blowup guard), count common
+    shingles per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_cap = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sh_df"))
+        .filter(F.col("sh_df") <= max_shingle_df)
+        .select("sh")
+    )
+    sh_kept = sh.join(df_cap, "sh")
+    a = sh_kept.alias("a")
+    b = sh_kept.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# 3. MinHash signatures + LSH banding.
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig_0..sig_15): min over shingles of (a_k·h + b_k) mod p.
+    Docs with no shingles are dropped (nothing to hash)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
+    ).withColumn("h", hash32(F.col("sh")))
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_P)
+        ).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from any shared LSH band, verified with true
+    Jaccard.  Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold."""
+    sigs = minhash_signatures(docs, text_col)
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for band in range(N_BANDS):
+        key = F.concat_ws(
+            "_",
+            F.lit(str(band)),
+            *[
+                F.col(f"sig_{band * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        bands.append(sigs.select("doc_id", key.alias("band_key")))
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = cands.join(
+        jaccard_pairs(docs, text_col, threshold=0.0, max_shingle_df=10**9)
+        .select("doc_a", "doc_b", "jaccard"),
+        ["doc_a", "doc_b"],
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# 4. SimHash (32-bit) + byte-band near-dup pairs.
+# --------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): per-token 32-bit hash, ±1 vote per bit."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).withColumn("h", hash32(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << b)) > 0, F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming ≤ max_hamming) via 4-byte band buckets.
+    Pigeonhole: hamming ≤ 3 over 4 disjoint bytes ⇒ at least one byte
+    equal, so banding has no false negatives."""
+    sh = simhash(docs, text_col)
+    bands = []
+    for i in range(4):
+        bands.append(
+            sh.select(
+                "doc_id",
+                "simhash",
+                F.concat_ws(
+                    "_",
+                    F.lit(str(i)),
+                    F.shiftright(F.col("simhash"), 8 * i)
+                    .bitwiseAND(F.lit(255))
+                    .cast("string"),
+                ).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

@@ -1,0 +1,357 @@
+"""DuckDB oracle SQL for the datapipe operators (dedup / ANN / textstats /
+multimodal).  Mirrors dedup.py / ann.py / textstats.py decision-for-
+decision; all hashing is md5-derived and all scores are integer-derived so
+both engines agree exactly (see module docstrings there)."""
+
+from __future__ import annotations
+
+from . import dedup as D
+from . import textstats as T
+from .corpus import corpus_sql
+
+HASH32 = "try_cast(('0x' || substr(md5({c}), 1, 8)) AS bigint)"
+
+
+def _sh_cte() -> str:
+    """corpus → exploded distinct shingles (doc_id, sh)."""
+    return f"""
+corpus AS ({corpus_sql()}),
+sh AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh FROM corpus
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+def _jaccard_cte(max_df: int) -> str:
+    return f"""
+sh_kept AS (
+  SELECT s.* FROM sh s
+  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {max_df}) k
+    ON s.sh = k.sh
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh_kept a JOIN sh_kept b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b, c.n_common,
+         sa.n_sh AS n_a, sb.n_sh AS n_b,
+         c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+  FROM common c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+)
+"""
+
+
+def dedup_exact_sql() -> str:
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH corpus AS ({corpus_sql()}),
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM corpus),
+g AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id, g.canonical_id, g.group_size
+FROM fp JOIN g ON fp.fingerprint = g.fingerprint
+WHERE g.group_size > 1
+"""
+
+
+def jaccard_pairs_sql(threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF) -> str:
+    return f"""
+WITH {_sh_cte()}, {_jaccard_cte(max_df)}
+SELECT doc_a, doc_b, n_common, n_a, n_b, jaccard
+FROM jac WHERE jaccard >= {threshold}
+"""
+
+
+def _sig_exprs() -> str:
+    return ",\n  ".join(
+        f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P})"
+        f" AS sig_{i}"
+        for i in range(D.N_HASHES)
+    )
+
+
+def minhash_signatures_sql() -> str:
+    h = HASH32.format(c="sh")
+    return f"""
+WITH {_sh_cte()},
+hh AS (SELECT doc_id, {h} AS h FROM sh)
+SELECT doc_id, {_sig_exprs()}
+FROM hh GROUP BY doc_id
+"""
+
+
+def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
+    h = HASH32.format(c="sh")
+    rows = D.N_HASHES // D.N_BANDS
+    band_selects = []
+    for band in range(D.N_BANDS):
+        cols = " || '_' || ".join(
+            f"cast(sig_{band * rows + r} AS string)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, '{band}' || '_' || {cols} AS band_key FROM sigs"
+        )
+    bands = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_sh_cte()},
+hh AS (SELECT doc_id, {h} AS h FROM sh),
+sigs AS (SELECT doc_id, {_sig_exprs()} FROM hh GROUP BY doc_id),
+banded AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+  FROM common c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+WHERE j.jaccard >= {threshold}
+"""
+
+
+def simhash_sql() -> str:
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    h = HASH32.format(c="tok")
+    votes = ",\n  ".join(
+        f"sum(CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(D.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql()}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split({norm}, ' '))) AS tok
+  FROM corpus
+),
+hh AS (SELECT doc_id, {h} AS h FROM toks),
+g AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id)
+SELECT doc_id, cast({sim} AS bigint) AS simhash FROM g
+"""
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, '{i}' || '_' ||"
+        f" cast((simhash >> {8 * i}) & 255 AS string) AS band_key FROM sim"
+        for i in range(4)
+    )
+    return f"""
+WITH sim0 AS ({simhash_sql()}),
+sim AS (SELECT * FROM sim0),
+banded AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# ---- ANN -------------------------------------------------------------------
+
+QVEC = (
+    "list_transform(embedding, x ->"
+    f" cast(round(cast(x AS double) * {1000}) AS bigint))"
+)
+
+
+def _qdot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _ann_base() -> str:
+    return f"""
+base AS (
+  SELECT vec_id, {QVEC} AS qvec FROM embeddings
+),
+base2 AS (
+  SELECT vec_id, qvec,
+         cast({_qdot('qvec', 'qvec')} AS bigint) AS qnorm2
+  FROM base
+)
+"""
+
+
+def brute_force_topk_sql(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+WITH {_ann_base()},
+q AS (
+  SELECT vec_id AS query_id, qvec AS qv_q, qnorm2 AS qn_a
+  FROM base2 WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+         round(cast({_qdot('q.qv_q', 'b.qvec')} AS bigint)
+               / sqrt(cast(q.qn_a AS double) * cast(b.qnorm2 AS double)),
+               9) AS cosine
+  FROM base2 b JOIN q ON b.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+def ivf_topk_sql(
+    n_queries: int = 8, k: int = 5, n_centroids: int = 16, nprobe: int = 4
+) -> str:
+    cos = (
+        lambda qa, qb, a, b: f"round(cast({_qdot(a, b)} AS bigint)"
+        f" / sqrt(cast({qa} AS double) * cast({qb} AS double)), 9)"
+    )
+    return f"""
+WITH {_ann_base()},
+cents AS (
+  SELECT vec_id AS centroid_id, qvec AS qv_c, qnorm2 AS qn_b
+  FROM base2 WHERE vec_id < {n_centroids}
+),
+assign0 AS (
+  SELECT b.vec_id, c.centroid_id,
+         {cos('b.qnorm2', 'c.qn_b', 'b.qvec', 'c.qv_c')} AS cosine
+  FROM base2 b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+    ) AS r FROM assign0
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, qvec AS qv_q, qnorm2 AS qn_a
+  FROM base2 WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.query_id, c.centroid_id,
+           {cos('q.qn_a', 'c.qn_b', 'q.qv_q', 'c.qv_c')} AS cosine,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos('q.qn_a', 'c.qn_b', 'q.qv_q', 'c.qv_c')} DESC,
+                      c.centroid_id ASC
+           ) AS r
+    FROM q CROSS JOIN cents c
+  ) WHERE r <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, b.vec_id, b.qvec, b.qnorm2
+  FROM probes p
+  JOIN assign a ON a.centroid_id = p.centroid_id
+  JOIN base2 b ON b.vec_id = a.vec_id
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         {cos('q.qn_a', 'c.qnorm2', 'q.qv_q', 'c.qvec')} AS cosine
+  FROM cand c JOIN q ON c.query_id = q.query_id
+  WHERE c.vec_id <> c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---- textstats / multimodal ------------------------------------------------
+
+def doc_textstats_sql() -> str:
+    ts = T.textstats_sql()
+    fp = T.fingerprint_sql()
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+    {ts['n_ws_tokens']} AS n_ws_tokens,
+    {ts['n_bpe_tokens']} AS n_bpe_tokens,
+    {ts['n_alpha']} AS n_alpha,
+    {ts['n_digit']} AS n_digit,
+    {ts['n_punct']} AS n_punct,
+    {ts['n_stopwords']} AS n_stopwords,
+    {ts['n_chars']} AS n_chars,
+    {T.lang_id_sql()} AS lang_id,
+    {fp['fingerprint']} AS fingerprint,
+    {fp['fingerprint64']} AS fingerprint64
+  FROM documents
+)
+SELECT doc_id, n_ws_tokens, n_bpe_tokens, n_alpha, n_digit, n_punct,
+  n_stopwords,
+  CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END
+    AS alpha_ratio,
+  CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END
+    AS punct_ratio,
+  CASE WHEN n_ws_tokens > 0 THEN n_stopwords * 1.0 / n_ws_tokens
+       ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN n_ws_tokens > 0
+       THEN (n_chars - n_ws_tokens + 1) * 1.0 / n_ws_tokens
+       ELSE 0.0 END AS mean_token_len,
+  (n_ws_tokens >= 10
+   AND n_alpha * 1.0 / n_chars > 0.5
+   AND n_punct * 1.0 / n_chars < 0.2
+   AND (n_chars - n_ws_tokens + 1) * 1.0 / n_ws_tokens
+       BETWEEN 2.0 AND 12.0) AS quality_ok,
+  lang_id, fingerprint, fingerprint64
+FROM b
+"""
+
+
+def lang_quality_counts_sql() -> str:
+    inner = doc_textstats_sql()
+    return f"""
+WITH stats AS ({inner})
+SELECT lang_id,
+       count(*) AS n_docs,
+       cast(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS bigint)
+         AS n_quality,
+       cast(sum(n_bpe_tokens) AS bigint) AS total_bpe_tokens
+FROM stats GROUP BY lang_id ORDER BY lang_id
+"""
+
+
+def multimodal_features_sql(n_feat: int = 8) -> str:
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    feats = ",\n  ".join(
+        f"try_cast(('0x' || substr(payload_hex, {2 * i + 1}, 2)) AS int)"
+        f" / 255.0 AS feat_{i}"
+        for i in range(n_feat)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         md5({norm}) AS payload_hex,
+         cast(n_chars % 64 + 1 AS int) AS width,
+         cast(doc_id % 48 + 1 AS int) AS height
+  FROM documents
+)
+SELECT doc_id, width, height, {feats} FROM b
+"""

@@ -1,0 +1,185 @@
+"""Text analysis over the documents table — the training-data-pipeline
+operators a 100 TB corpus needs alongside the log pipeline: token counting,
+quality scoring, language-ID, and document fingerprinting.
+
+All JVM-side expressions (no Python in the hot path); every op has an exact
+DuckDB oracle twin (the *_sql fragments).  Float outputs are ratios of
+integer counts — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the standard byte-pair pre-split shape (public GPT-2 style, simplified
+# to ASCII classes so Java and RE2 regex dialects agree).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+# language marker tokens (tiny n-gram/stopword heuristic; deterministic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "en": ["the", "and", "of", "is", "that", "with"],
+    "es": ["el", "los", "las", "que", "y", "una"],
+    "fr": ["le", "la", "les", "et", "que", "une"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2", "you3"],  # pinyin-ish
+}
+
+
+def _norm(text: Column) -> Column:
+    return F.lower(F.trim(text))
+
+
+def _count_re(text: Column, pattern: str) -> Column:
+    return F.coalesce(
+        F.regexp_count(text, F.lit(pattern)), F.lit(0)
+    ).cast("long")
+
+
+def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds: n_ws_tokens, n_bpe_tokens, n_alpha, n_digit, n_punct,
+    alpha_ratio, punct_ratio, stopword_ratio, mean_token_len, quality_ok.
+    """
+    t = _norm(F.col(text_col))
+    n_ws = F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+    n_chars = F.length(t).cast("long")
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    out = docs.withColumns(
+        {
+            "n_ws_tokens": n_ws,
+            "n_bpe_tokens": _count_re(F.col(text_col), BPE_TOKEN_RE),
+            "n_alpha": _count_re(t, "[a-z]"),
+            "n_digit": _count_re(t, "[0-9]"),
+            "n_punct": _count_re(t, r"[^a-z0-9\s]"),
+            "n_stopwords": _count_re(t, stop_re),
+            "n_chars": n_chars,
+        }
+    )
+    return out.withColumns(
+        {
+            # ratios of ints: bit-identical across engines
+            "alpha_ratio": F.when(
+                F.col("n_chars") > 0,
+                F.col("n_alpha") / F.col("n_chars"),
+            ).otherwise(F.lit(0.0)),
+            "punct_ratio": F.when(
+                F.col("n_chars") > 0,
+                F.col("n_punct") / F.col("n_chars"),
+            ).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.when(
+                F.col("n_ws_tokens") > 0,
+                F.col("n_stopwords") / F.col("n_ws_tokens"),
+            ).otherwise(F.lit(0.0)),
+            "mean_token_len": F.when(
+                F.col("n_ws_tokens") > 0,
+                (F.col("n_chars") - F.col("n_ws_tokens") + 1)
+                / F.col("n_ws_tokens"),
+            ).otherwise(F.lit(0.0)),
+        }
+    ).withColumn(
+        # Gopher/C4-style cheap quality gate
+        "quality_ok",
+        (F.col("n_ws_tokens") >= 10)
+        & (F.col("alpha_ratio") > 0.5)
+        & (F.col("punct_ratio") < 0.2)
+        & (F.col("mean_token_len").between(2.0, 12.0)),
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID; argmax with deterministic (count desc,
+    lang asc) tiebreak; 'und' when no marker fires."""
+    t = _norm(F.col(text_col))
+    out = docs
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        out = out.withColumn(f"_m_{lang}", _count_re(t, pat))
+    langs = sorted(LANG_MARKERS)
+    # argmax via greatest + case chain (stable asc-lang tiebreak)
+    best = F.greatest(*[F.col(f"_m_{la}") for la in langs])
+    expr = F.lit("und")
+    for la in reversed(langs):
+        expr = F.when(
+            (best > 0) & (F.col(f"_m_{la}") == best), F.lit(la)
+        ).otherwise(expr)
+    # reversed chain means the FIRST lang alphabetically wins ties
+    out = out.withColumn("lang_id", expr)
+    return out.drop(*[f"_m_{la}" for la in langs])
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text (the exact-dedup key), plus a 64-bit integer form."""
+    norm = F.regexp_replace(_norm(F.col(text_col)), r"\s+", " ")
+    fp = F.md5(norm)
+    return docs.withColumns(
+        {
+            "fingerprint": fp,
+            "fingerprint64": F.conv(F.substring(fp, 1, 15), 16, 10).cast(
+                "long"
+            ),
+        }
+    )
+
+
+# ---- DuckDB oracle fragments ----------------------------------------------
+
+def textstats_sql(text_col: str = "text") -> dict[str, str]:
+    t = f"lower(trim({text_col}))"
+    stop_re = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    n_ws = (
+        f"CASE WHEN {t} = '' THEN 0 ELSE "
+        f"len(regexp_split_to_array({t}, '\\s+')) END"
+    )
+    frag = {
+        "n_ws_tokens": f"cast({n_ws} AS bigint)",
+        "n_bpe_tokens": (
+            f"cast(len(regexp_extract_all({text_col},"
+            f" '{BPE_TOKEN_RE}')) AS bigint)"
+        ),
+        "n_alpha": f"cast(len(regexp_extract_all({t}, '[a-z]')) AS bigint)",
+        "n_digit": f"cast(len(regexp_extract_all({t}, '[0-9]')) AS bigint)",
+        "n_punct": (
+            f"cast(len(regexp_extract_all({t}, '[^a-z0-9\\s]')) AS bigint)"
+        ),
+        "n_stopwords": (
+            f"cast(len(regexp_extract_all({t}, '{stop_re}')) AS bigint)"
+        ),
+        "n_chars": f"cast(length({t}) AS bigint)",
+    }
+    return frag
+
+
+def lang_id_sql(text_col: str = "text") -> str:
+    t = f"lower(trim({text_col}))"
+    cnt = {
+        la: (
+            f"len(regexp_extract_all({t},"
+            f" '\\b(" + "|".join(m) + r")\b'))"
+        )
+        for la, m in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(cnt[la] for la in langs) + ")"
+    whens = " ".join(
+        f"WHEN {cnt[la]} = _best THEN '{la}'" for la in langs
+    )
+    # correlated form: compute best inline per row
+    whens_inline = " ".join(
+        f"WHEN {cnt[la]} = {best} THEN '{la}'" for la in langs
+    )
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens_inline} ELSE 'und' END"
+
+
+def fingerprint_sql(text_col: str = "text") -> dict[str, str]:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    fp = f"md5({norm})"
+    return {
+        "fingerprint": fp,
+        "fingerprint64": f"try_cast(('0x' || substr({fp}, 1, 15)) AS bigint)",
+    }
