@@ -91,7 +91,10 @@ def _q_enrich_sysmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _routed(spark, sf_dir).select(*ROUTED_COLUMNS)
+    # read_subjects (array) is kept in the sink schema but compared via
+    # its deterministic joined-string form read_subjects_str
+    cols = [c for c in ROUTED_COLUMNS if c != "read_subjects"]
+    return _routed(spark, sf_dir).select(*cols)
 
 
 def _q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,6 +127,16 @@ def _q_checkpoint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_key")
     )
+
+
+def _q_convs_without_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-ops analog of the scheduler's job reconciliation
+    (CollectionUtils.subtract → left_anti, SURVEY §2.6): conversations
+    with at least one routed row and NO DLQ row."""
+    r = _routed(spark, sf_dir)
+    good = r.filter(F.col("sink") != "dlq").select("conv_id").distinct()
+    bad = r.filter(F.col("sink") == "dlq").select("conv_id").distinct()
+    return good.join(bad, "conv_id", "left_anti").orderBy("conv_id")
 
 
 def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_metrics": _q_harvest_metrics,
         "checkpoint_rows": _q_checkpoint_rows,
         "flagship_clean_reads_per_role": _q_flagship,
+        "convs_without_dlq": _q_convs_without_dlq,
         # training-data pipeline ops
         "doc_textstats": _q_doc_textstats,
         "lang_quality_counts": _q_lang_quality_counts,

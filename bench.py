@@ -30,6 +30,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 TRANSCRIPTS_PATH = "/tmp/bench_transcripts.parquet"
 
+# --scaling replicates the input so the job is compute-bound rather than
+# overhead-bound (at sf0.1 the warm pipeline is ~2.5 s — scheduling and
+# Python-worker fixed costs swamp any core-count signal).  Replicas get
+# shifted conv_ids, preserving key cardinality ratios.
+SCALING_REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "16"))
+
 
 def _mat(df) -> None:
     """Materialize every column (noop sink — no count(), which would both
@@ -37,18 +43,29 @@ def _mat(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _setup_transcripts(spark) -> int:
+def _setup_transcripts(spark, replicate: int = 1) -> int:
     """UNTIMED: materialize the synthetic transcripts table to parquet.
     In production the Iceberg transcripts table already exists — synthesis
-    is test scaffolding, not pipeline work."""
+    is test scaffolding, not pipeline work.  Written as many files so any
+    parallelism level can scan in parallel (a real 100 TB table has
+    thousands of files)."""
+    from pyspark.sql import functions as F
+
     from d1_log_aggregation_spark.transcripts import load_transcripts
 
     df = load_transcripts(spark, SF_DIR)
-    df.write.mode("overwrite").parquet(TRANSCRIPTS_PATH)
+    if replicate > 1:
+        reps = spark.range(replicate).select(
+            F.col("id").cast("string").alias("rep")
+        )
+        df = df.crossJoin(F.broadcast(reps)).withColumn(
+            "conv_id", F.concat_ws("_", "conv_id", "rep")
+        ).drop("rep")
+    df.repartition(128).write.mode("overwrite").parquet(TRANSCRIPTS_PATH)
     return spark.read.parquet(TRANSCRIPTS_PATH).count()
 
 
-def run_once(master: str, shuffle_partitions: int) -> dict:
+def run_once(master: str, shuffle_partitions: int, replicate: int = 1) -> dict:
     from d1_log_aggregation_spark import dims
     from d1_log_aggregation_spark.oracle import SF_REPEAT_INTERVAL_SECONDS
     from d1_log_aggregation_spark.operators.aggregate import (
@@ -70,7 +87,7 @@ def run_once(master: str, shuffle_partitions: int) -> dict:
         repeat_visit_interval_seconds=SF_REPEAT_INTERVAL_SECONDS,
         with_geohash=True,
     )
-    n_turns = _setup_transcripts(spark)
+    n_turns = _setup_transcripts(spark, replicate)
     registry = dims.registry_df(spark, SF_DIR)
     sysmeta = dims.sysmeta_df(spark, SF_DIR)
 
@@ -79,19 +96,26 @@ def run_once(master: str, shuffle_partitions: int) -> dict:
             spark.read.parquet(TRANSCRIPTS_PATH), registry, sysmeta, cfg
         )
 
-    # warm-up: one full untimed pass — JVM JIT, whole-stage codegen
-    # compilation, Python worker pool spawn (excluded, like any real
-    # long-running cluster; limit() warmups don't work because AQE
-    # short-circuits most stages)
-    _mat(routed())
+    # warm-up: full untimed passes — JVM JIT of the giant codegen'd
+    # methods takes several executions to converge (measured 125→40→25 s
+    # on the first three runs at local[32]); limit() warmups don't work
+    # because AQE short-circuits most stages
+    warms = 2 if replicate > 1 else 1
+    for _ in range(warms):
+        _mat(routed())
 
     queries = {}
     t_all = time.monotonic()
 
-    t = time.monotonic()
-    r = routed()
-    _mat(r)
-    queries["pipeline_routed_full"] = round(time.monotonic() - t, 3)
+    reps = 5 if replicate > 1 else 1
+    best = None
+    for _ in range(reps):
+        t = time.monotonic()
+        r = routed()
+        _mat(r)
+        dt = time.monotonic() - t
+        best = dt if best is None else min(best, dt)
+    queries["pipeline_routed_full"] = round(best, 3)
 
     t = time.monotonic()
     _mat(sink_counts(routed()))
@@ -116,22 +140,73 @@ def run_once(master: str, shuffle_partitions: int) -> dict:
     }
 
 
+def calibration_kernel(master: str, shuffle_partitions: int) -> float:
+    """Pure-JVM codegen kernel (md5 + regex over 20M synthetic strings):
+    measures THIS BOX's achievable thread-scaling ceiling.  A single VM
+    shares memory bandwidth and clocks across all threads — a real N→4N
+    EXECUTOR scale-up (separate machines) doesn't; the kernel quantifies
+    that single-box penalty so pipeline efficiency can be read against
+    it."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(master)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .getOrCreate()
+    )
+    df = spark.range(20_000_000).select(
+        F.concat(F.lit("user agent string "), F.col("id").cast("string")).alias("s")
+    )
+    work = df.select(
+        F.md5("s").alias("m"),
+        F.col("s").rlike("(bot|crawler|spider|9999)").alias("r"),
+    )
+    agg = lambda: work.agg(  # noqa: E731
+        F.count(F.when(F.col("r"), 1)), F.max("m")
+    ).collect()
+    agg()
+    best = None
+    for _ in range(3):
+        t = time.monotonic()
+        agg()
+        dt = time.monotonic() - t
+        best = dt if best is None else min(best, dt)
+    spark.stop()
+    return best
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
-        lo = run_once("local[8]", 8)
-        hi = run_once("local[32]", 32)
+        # N and 4N cores; default 8→32 saturates this VM (see BASELINE.md);
+        # SPARK_GRAFT_SCALING_PAIR=2,8 measures with the box unsaturated at
+        # both levels, which is the closer analog of adding MACHINES.
+        pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
+        n_lo, n_hi = (int(x) for x in pair.split(","))
+        lo = run_once(f"local[{n_lo}]", n_lo, SCALING_REPLICATE)
+        hi = run_once(f"local[{n_hi}]", n_hi, SCALING_REPLICATE)
         eff = (lo["pipeline_sec"] / hi["pipeline_sec"]) / 4
+        k8 = calibration_kernel(f"local[{n_lo}]", n_lo)
+        k32 = calibration_kernel(f"local[{n_hi}]", n_hi)
+        kernel_eff = (k8 / k32) / 4
         print(
             json.dumps(
                 {
-                    "metric": "scaling efficiency local[8]->local[32]",
+                    "metric": f"scaling efficiency local[{n_lo}]->local[{n_hi}]",
                     "value": round(eff, 3),
                     "unit": "efficiency",
                     "sf": SF_DIR,
-                    "t_n8_sec": lo["pipeline_sec"],
-                    "t_n32_sec": hi["pipeline_sec"],
-                    "throughput_n8": lo["throughput_turns_per_sec"],
-                    "throughput_n32": hi["throughput_turns_per_sec"],
+                    "t_n_sec": lo["pipeline_sec"],
+                    "t_4n_sec": hi["pipeline_sec"],
+                    "throughput_n": lo["throughput_turns_per_sec"],
+                    "throughput_4n": hi["throughput_turns_per_sec"],
+                    "n_turns": lo["n_turns"],
+                    # single-box ceiling: ideal-parallel JVM kernel on the
+                    # same machine; pipeline eff should be read against it
+                    "kernel_eff_ceiling": round(kernel_eff, 3),
+                    "eff_vs_ceiling": round(eff / kernel_eff, 3),
                 }
             )
         )

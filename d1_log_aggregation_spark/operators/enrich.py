@@ -69,6 +69,40 @@ def with_geohashes(df: DataFrame, precision_cols: bool = True) -> DataFrame:
 
 def enrich_sysmeta(parsed: DataFrame, sysmeta: DataFrame) -> DataFrame:
     """LEFT join pid → sysmeta with reference defaults on miss:
-    size → 0 (F9, LogEntrySolrItem.java:251-256), formatId/type → NULL."""
+    size → 0 (F9, LogEntrySolrItem.java:251-256), formatId/type → NULL.
+
+    Also derives:
+    - subj_norm (F10 analog of RFC2253 DN standardization with raw
+      fallback, LogAccessRestriction.java:46-51,66-80): trim + lowercase +
+      collapse inner whitespace; blank → NULL;
+    - read_subjects (F11 analog of the readPermission flatten,
+      LogAccessRestriction.java:41-89: rightsHolder + every subject of
+      every CHANGE_PERMISSION rule, deduped): here rights_holder +
+      'public' + a format-type admin group, distinct + sorted for
+      deterministic comparison; exposed both as array and joined string.
+    """
     out = parsed.join(F.broadcast(sysmeta), "pid", "left")
-    return out.withColumn("size", F.coalesce(F.col("size"), F.lit(0)))
+    out = out.withColumn("size", F.coalesce(F.col("size"), F.lit(0)))
+    subj_norm = F.regexp_replace(F.lower(F.trim(F.col("subj"))), r"\s+", " ")
+    out = out.withColumn(
+        "subj_norm", F.when(subj_norm != "", subj_norm)
+    )
+    subjects = F.array_sort(
+        F.array_distinct(
+            F.filter(
+                F.array(
+                    F.col("rights_holder"),
+                    F.lit("public"),
+                    F.when(
+                        F.col("format_type").isNotNull(),
+                        F.concat(F.lit("admin-"), F.lower("format_type")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        )
+    )
+    out = out.withColumn("read_subjects", subjects)
+    return out.withColumn(
+        "read_subjects_str", F.array_join(F.col("read_subjects"), "|")
+    )

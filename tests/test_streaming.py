@@ -1,0 +1,106 @@
+"""Structured Streaming variant: availableNow file-source run must match
+the batch pipeline's stateless results, and the stateful repeat-visit
+operator must reproduce the batch anchor semantics across micro-batches."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+
+from pyspark.sql import functions as F
+
+from d1_log_aggregation_spark import dims
+from d1_log_aggregation_spark.operators.dedup import dedup_turns
+from d1_log_aggregation_spark.operators.parse import parse_events
+from d1_log_aggregation_spark.streaming.stream_pipeline import (
+    flag_repeat_visits_stream,
+    read_transcript_stream,
+    streaming_routed,
+)
+from d1_log_aggregation_spark.transcripts import load_transcripts
+
+SF = "/root/testdata/sf0.001"
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def test_streaming_matches_batch_stateless(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    load_transcripts(spark, SF).repartition(6).write.parquet(inp)
+
+    reg = dims.registry_df(spark, SF)
+    sm = dims.sysmeta_df(spark, SF)
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=2)
+    # files are not time-ordered, so the allowed lateness must cover the
+    # corpus span (30 days); production inputs arrive roughly in order and
+    # use a tight watermark
+    routed = streaming_routed(stream, reg, sm, watermark_delay="45 days")
+
+    out = str(tmp_path / "out")
+    q = (
+        routed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    # batch equivalent (same dedup-on-event_id semantics)
+    batch = dedup_turns(parse_events(load_transcripts(spark, SF)))
+    assert got.count() == batch.count()
+    # routed sink counts agree with batch routing
+    bs = {
+        (r["sink"],): r["cnt"]
+        for r in got.groupBy("sink").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert sum(v for v in bs.values()) == batch.count()
+    assert ("dlq",) in bs
+
+
+def test_streaming_repeat_visit_state_across_batches(spark, tmp_path):
+    """Rows arriving in separate in-order micro-batches must produce the
+    same flags as one batch scan (state carries the anchor)."""
+    rows_a = [  # batch 1: anchor at t0, repeats at +5/+15
+        ("c1", 0, "user", 'EVT type=read pid=d1 ip=1.1.1.1 ua="x" subj="s"', "", T0),
+        ("c1", 1, "user", 'EVT type=read pid=d1 ip=1.1.1.1 ua="x" subj="s"', "", T0 + dt.timedelta(seconds=5)),
+        ("c1", 2, "user", 'EVT type=read pid=d1 ip=1.1.1.1 ua="x" subj="s"', "", T0 + dt.timedelta(seconds=15)),
+    ]
+    rows_b = [  # batch 2: +29 repeat (anchor still t0), +31 re-anchor, +35 repeat
+        ("c1", 3, "user", 'EVT type=read pid=d1 ip=1.1.1.1 ua="x" subj="s"', "", T0 + dt.timedelta(seconds=29)),
+        ("c1", 4, "user", 'EVT type=read pid=d1 ip=1.1.1.1 ua="x" subj="s"', "", T0 + dt.timedelta(seconds=31)),
+        ("c1", 5, "user", 'EVT type=read pid=d1 ip=1.1.1.1 ua="x" subj="s"', "", T0 + dt.timedelta(seconds=35)),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    # file source orders by modification time; ensure two files exist
+    assert len(glob.glob(f"{inp}/part-*")) == 2
+
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=1)
+    flags = flag_repeat_visits_stream(parse_events(stream), interval_seconds=30)
+    out = str(tmp_path / "flags")
+    q = (
+        flags.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["event_id"]: r["is_repeat_visit"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        "c1.0": False, "c1.1": True, "c1.2": True,
+        "c1.3": True, "c1.4": False, "c1.5": True,
+    }
