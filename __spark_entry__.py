@@ -214,6 +214,10 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.minhash_lsh_pairs(load_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _q_corpus_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.corpus_deduped(load_corpus(spark, sf_dir), threshold=0.5)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.simhash(load_corpus(spark, sf_dir))
 
@@ -255,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality_counts": _q_lang_quality_counts,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
+        "corpus_deduped": _q_corpus_deduped,
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -273,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
             "lang_quality_counts": dp_oracle.lang_quality_counts_sql(),
             "dedup_exact": dp_oracle.dedup_exact_sql(),
             "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
+            "corpus_deduped": dp_oracle.corpus_deduped_sql(0.5),
             "minhash_signatures": dp_oracle.minhash_signatures_sql(),
             "minhash_lsh_pairs": dp_oracle.minhash_lsh_pairs_sql(0.5),
             "simhash": dp_oracle.simhash_sql(),

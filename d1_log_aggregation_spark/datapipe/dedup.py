@@ -38,21 +38,27 @@ MINHASH_B = [
 MINHASH_P = 4294967311  # prime > 2^32
 N_HASHES = 16
 N_BANDS = 8  # 2 rows per band
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: pigeonhole covers hamming <= 3
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 MAX_SHINGLE_DF = 1000  # stop-shingle cap (tune per corpus)
+INT64_MIN = -(1 << 63)
 
 
 def norm_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
-def hash32(col: Column) -> Column:
+def hash32(col: Column, pos: int = 1) -> Column:
     """Deterministic 32-bit token hash both engines can reproduce:
-    first 8 hex chars of md5 as unsigned int."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    8 hex chars of md5 (starting at ``pos``, 1-based) as unsigned int.
+    ``pos=1`` and ``pos=9`` give two independent 32-bit hashes, which
+    compose into the 64-bit hash SimHash needs."""
+    return F.conv(F.substring(F.md5(col), pos, 8), 16, 10).cast("long")
 
 
 HASH32_SQL = "try_cast(('0x' || substr(md5({c}), 1, 8)) AS bigint)"
+HASH32_HI_SQL = "try_cast(('0x' || substr(md5({c}), 9, 8)) AS bigint)"
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
@@ -104,6 +110,38 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # 2. N-gram Jaccard near-dup via inverted shingle index.
 # --------------------------------------------------------------------------
 
+def _shingle_index(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
+    """(sh, sizes): exploded distinct shingles + per-doc shingle counts."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    return sh, sizes
+
+
+def _with_jaccard(common: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Attach n_a/n_b/jaccard to a (doc_a, doc_b, n_common) relation."""
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -116,10 +154,7 @@ def jaccard_pairs(
     than max_shingle_df docs (quadratic-blowup guard), count common
     shingles per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
     """
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("sh")
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh, sizes = _shingle_index(docs, text_col)
     df_cap = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("sh_df"))
@@ -138,26 +173,7 @@ def jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
-        common.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-                "n_sh", "n_a"
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "n_sh", "n_b"
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    out = _with_jaccard(common, sizes).filter(F.col("jaccard") >= threshold)
     return out.select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
 
 
@@ -187,7 +203,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate pairs from any shared LSH band, verified with true
-    Jaccard.  Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold."""
+    Jaccard computed for the CANDIDATES ONLY.  Returns
+    (doc_a, doc_b, jaccard) with jaccard ≥ threshold.
+
+    Scale contract: the only pair-producing joins are (a) the band-bucket
+    self-join (bounded by LSH bucket sizes) and (b) the candidate ⨝
+    shingle-index joins whose output is Σ over candidates of the two docs'
+    shingle counts — linear in the candidate set, never all-pairs.  The
+    all-pairs inverted-index join of ``jaccard_pairs`` is deliberately NOT
+    reused here (that would defeat the banding)."""
     sigs = minhash_signatures(docs, text_col)
     rows_per_band = N_HASHES // N_BANDS
     bands = []
@@ -217,38 +241,62 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = cands.join(
-        jaccard_pairs(docs, text_col, threshold=0.0, max_shingle_df=10**9)
-        .select("doc_a", "doc_b", "jaccard"),
-        ["doc_a", "doc_b"],
-    ).filter(F.col("jaccard") >= threshold)
+    # candidate-only verify: intersect shingle sets per candidate pair.
+    # cands ⨝ sh(doc_a) ⨝ sh(doc_b, same shingle) → count = |A∩B|; the
+    # candidate side is small, so both joins are broadcast-able and the
+    # fan-out is bounded by the candidates' own shingle counts.
+    sh, sizes = _shingle_index(docs, text_col)
+    common = (
+        cands.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+            ["doc_b", "sh"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    verified = _with_jaccard(common, sizes).filter(
+        F.col("jaccard") >= threshold
+    )
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
 # --------------------------------------------------------------------------
-# 4. SimHash (32-bit) + byte-band near-dup pairs.
+# 4. SimHash (64-bit) + 16-bit-band near-dup pairs.
 # --------------------------------------------------------------------------
 
+def _simhash_bit_test(b: int) -> Column:
+    """Does bit ``b`` of the token's 64-bit hash (h_lo ‖ h_hi) fire?"""
+    if b < 32:
+        return F.col("h_lo").bitwiseAND(F.lit(1 << b)) > 0
+    return F.col("h_hi").bitwiseAND(F.lit(1 << (b - 32))) > 0
+
+
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): per-token 32-bit hash, ±1 vote per bit."""
+    """(doc_id, simhash): per-token 64-bit hash (two md5-derived 32-bit
+    halves), ±1 vote per bit, packed into a signed int64 (bit 63 enters as
+    INT64_MIN so the sum stays in-range on both engines)."""
     toks = docs.select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(norm_text(F.col(text_col)), " "))
         ).alias("tok"),
-    ).withColumn("h", hash32(F.col("tok")))
+    ).withColumns(
+        {"h_lo": hash32(F.col("tok"), 1), "h_hi": hash32(F.col("tok"), 9)}
+    )
     votes = [
         F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.lit(1 << b)) > 0, F.lit(1)
-            ).otherwise(F.lit(-1))
+            F.when(_simhash_bit_test(b), F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"v_{b}")
         for b in range(SIMHASH_BITS)
     ]
     g = toks.groupBy("doc_id").agg(*votes)
     sim = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        weight = INT64_MIN if b == 63 else (1 << b)
+        term = F.when(F.col(f"v_{b}") > 0, F.lit(weight)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return g.select("doc_id", sim.cast("long").alias("simhash"))
 
@@ -256,12 +304,15 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(
     docs: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming ≤ max_hamming) via 4-byte band buckets.
-    Pigeonhole: hamming ≤ 3 over 4 disjoint bytes ⇒ at least one byte
-    equal, so banding has no false negatives."""
+    """(doc_a, doc_b, hamming ≤ max_hamming) via 4 × 16-bit band buckets.
+    Pigeonhole: hamming ≤ 3 over 4 disjoint 16-bit bands ⇒ at least one
+    band equal, so banding has no false negatives.  65 536 bucket values
+    per band keep the band self-join linear at corpus scale (vs 256 with
+    byte bands).  The shift is arithmetic in both engines but the & mask
+    extracts the same 16 physical bits regardless of sign fill."""
     sh = simhash(docs, text_col)
     bands = []
-    for i in range(4):
+    for i in range(SIMHASH_BANDS):
         bands.append(
             sh.select(
                 "doc_id",
@@ -269,8 +320,8 @@ def simhash_pairs(
                 F.concat_ws(
                     "_",
                     F.lit(str(i)),
-                    F.shiftright(F.col("simhash"), 8 * i)
-                    .bitwiseAND(F.lit(255))
+                    F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+                    .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
                     .cast("string"),
                 ).alias("band_key"),
             )
@@ -296,3 +347,37 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# 5. Dedup materialization: the surviving corpus itself.
+# --------------------------------------------------------------------------
+
+def corpus_deduped(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The deduplicated corpus (doc_id, text) under min-canonical
+    survivorship: a document is dropped iff it has an exact duplicate or a
+    Jaccard ≥ threshold near-duplicate with a SMALLER doc_id.
+
+    This is the greedy per-pair policy common in training-data pipelines
+    (every pair loses its larger member); unlike connected-components it
+    needs no iteration, and chains a<b<c where only (a,b) and (b,c) pair
+    drop BOTH b and c — the conservative direction for dedup.  Plan shape:
+    the same bounded inverted-index joins as exact_duplicates /
+    jaccard_pairs feeding one left_anti join — no new shuffle class."""
+    exact_losers = (
+        exact_duplicates(docs, text_col)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    near_losers = jaccard_pairs(
+        docs, text_col, threshold=threshold, max_shingle_df=max_shingle_df
+    ).select(F.col("doc_b").alias("doc_id"))
+    losers = exact_losers.unionByName(near_losers).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", text_col
+    )

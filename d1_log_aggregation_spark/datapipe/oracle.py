@@ -70,6 +70,29 @@ FROM jac WHERE jaccard >= {threshold}
 """
 
 
+def corpus_deduped_sql(
+    threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
+) -> str:
+    """Min-canonical survivorship twin of dedup.corpus_deduped."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH {_sh_cte()}, {_jaccard_cte(max_df)},
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM corpus),
+eg AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+),
+losers AS (
+  SELECT fp.doc_id FROM fp JOIN eg ON fp.fingerprint = eg.fingerprint
+  WHERE eg.group_size > 1 AND fp.doc_id <> eg.canonical_id
+  UNION
+  SELECT doc_b AS doc_id FROM jac WHERE jaccard >= {threshold}
+)
+SELECT c.doc_id, c.text FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def _sig_exprs() -> str:
     return ",\n  ".join(
         f"min(({D.MINHASH_A[i]} * h + {D.MINHASH_B[i]}) % {D.MINHASH_P})"
@@ -111,8 +134,12 @@ cands AS (
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  -- candidate-only intersection (mirrors dedup.minhash_lsh_pairs: never
+  -- the all-pairs sh self-join)
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
   GROUP BY 1, 2
 ),
 jac AS (
@@ -122,21 +149,34 @@ jac AS (
   JOIN sizes sa ON c.doc_a = sa.doc_id
   JOIN sizes sb ON c.doc_b = sb.doc_id
 )
-SELECT c.doc_a, c.doc_b, j.jaccard
-FROM cands c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
-WHERE j.jaccard >= {threshold}
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= {threshold}
 """
 
 
 def simhash_sql() -> str:
     norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
-    h = HASH32.format(c="tok")
+    h_lo = HASH32.format(c="tok")
+    h_hi = D.HASH32_HI_SQL.format(c="tok")
+
+    def bit_test(b: int) -> str:
+        if b < 32:
+            return f"(h_lo & {1 << b}) > 0"
+        return f"(h_hi & {1 << (b - 32)}) > 0"
+
     votes = ",\n  ".join(
-        f"sum(CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END) AS v_{b}"
+        f"sum(CASE WHEN {bit_test(b)} THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(D.SIMHASH_BITS)
     )
+    # INT64_MIN spelled as (-(2^63-1) - 1): the bare literal would parse as
+    # unary minus over an out-of-range positive INT64
+    def weight(b: int) -> str:
+        if b == 63:
+            return "(-9223372036854775807::BIGINT - 1::BIGINT)"
+        return f"{1 << b}::BIGINT"
+
     sim = " + ".join(
-        f"(CASE WHEN v_{b} > 0 THEN {1 << b} ELSE 0 END)"
+        f"(CASE WHEN v_{b} > 0 THEN {weight(b)} ELSE 0::BIGINT END)"
         for b in range(D.SIMHASH_BITS)
     )
     return f"""
@@ -146,17 +186,19 @@ toks AS (
          unnest(list_distinct(string_split({norm}, ' '))) AS tok
   FROM corpus
 ),
-hh AS (SELECT doc_id, {h} AS h FROM toks),
+hh AS (SELECT doc_id, {h_lo} AS h_lo, {h_hi} AS h_hi FROM toks),
 g AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id)
 SELECT doc_id, cast({sim} AS bigint) AS simhash FROM g
 """
 
 
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    mask = (1 << D.SIMHASH_BAND_BITS) - 1
     bands = " UNION ALL ".join(
         f"SELECT doc_id, simhash, '{i}' || '_' ||"
-        f" cast((simhash >> {8 * i}) & 255 AS string) AS band_key FROM sim"
-        for i in range(4)
+        f" cast((simhash >> {D.SIMHASH_BAND_BITS * i}) & {mask} AS string)"
+        f" AS band_key FROM sim"
+        for i in range(D.SIMHASH_BANDS)
     )
     return f"""
 WITH sim0 AS ({simhash_sql()}),

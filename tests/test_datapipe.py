@@ -46,22 +46,48 @@ def test_near_dups_found_by_all_three_methods(spark):
     found = len([p for p in near_ids if p in mh])
     assert found >= 0.9 * len(near_ids), f"minhash found {found}/{len(near_ids)}"
 
-    # SimHash: the byte-band candidate generation must be COMPLETE for
+    # SimHash: the 16-bit-band candidate generation must be COMPLETE for
     # hamming ≤ 3 (pigeonhole) — verify against exact hamming distances
+    # (mask to 64 bits: simhash is a signed int64)
+    mask64 = (1 << 64) - 1
+
+    def hamming(x: int, y: int) -> int:
+        return bin((x ^ y) & mask64).count("1")
+
     sh_pairs = {
         (r["doc_a"], r["doc_b"])
         for r in dedup.simhash_pairs(corpus, max_hamming=3).collect()
     }
     sim = {r["doc_id"]: r["simhash"] for r in dedup.simhash(corpus).collect()}
-    expected = {
-        (a, b)
-        for a, b in near_ids
-        if bin(sim[a] ^ sim[b]).count("1") <= 3
-    }
+    expected = {(a, b) for a, b in near_ids if hamming(sim[a], sim[b]) <= 3}
     assert expected <= sh_pairs, f"simhash banding missed {expected - sh_pairs}"
     # and no planted pair in the result exceeds the hamming bound
     for a, b in near_ids & sh_pairs:
-        assert bin(sim[a] ^ sim[b]).count("1") <= 3
+        assert hamming(sim[a], sim[b]) <= 3
+    # exact dup copies have hamming 0 → banding MUST catch all of them
+    exact_ids = {(i, i + n_docs) for i in range(n_docs) if i % 10 == 0}
+    assert exact_ids <= sh_pairs
+
+
+def test_corpus_deduped_survivorship(spark):
+    corpus = load_corpus(spark, SF)
+    n_docs = 500
+    survivors = {
+        r["doc_id"]
+        for r in dedup.corpus_deduped(corpus, threshold=0.5).collect()
+    }
+    jac_losers = {
+        r["doc_b"]
+        for r in dedup.jaccard_pairs(corpus, threshold=0.5).collect()
+    }
+    # planted exact copies (doc_id + N) always lose to the original
+    exact_copies = {i + n_docs for i in range(n_docs) if i % 10 == 0}
+    assert not exact_copies & survivors
+    # near-dup copies with jaccard >= 0.5 lose too
+    assert not jac_losers & survivors
+    # every doc that is neither an exact copy nor a jaccard loser survives
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert survivors == all_ids - exact_copies - jac_losers
 
 
 def test_ivf_recall_vs_brute_force(spark):
