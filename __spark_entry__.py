@@ -97,6 +97,22 @@ def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select(*cols)
 
 
+GEOHASH_CFG = PipelineConfig(
+    repeat_visit_interval_seconds=oracle.SF_REPEAT_INTERVAL_SECONDS,
+    with_geohash=True,
+)
+
+
+def _q_geohash_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 oracle coverage: the 9 geohash prefix columns of the routed output
+    (LogEntrySolrItem.java:283,304-314), pipeline run with the geohash
+    encode fused into the Arrow pass."""
+    routed = run_from_dir(spark, sf_dir, GEOHASH_CFG)
+    return routed.select(
+        "event_id", *[f"geohash_{p}" for p in range(1, 10)]
+    )
+
+
 def _q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink_counts(_routed(spark, sf_dir))
 
@@ -248,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_registry": _q_enrich_registry,
         "enrich_sysmeta": _q_enrich_sysmeta,
         "routed_rows": _q_routed_rows,
+        "geohash_rows": _q_geohash_rows,
         "sink_counts": _q_sink_counts,
         "tool_sink_counts": _q_tool_sink_counts,
         "harvest_metrics": _q_harvest_metrics,

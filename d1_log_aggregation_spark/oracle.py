@@ -149,6 +149,72 @@ def ip_to_long_reg_key() -> str:
     return "try_cast(split_part(rv.ip, '.', 2) AS int) % 25"
 
 
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_ctes() -> str:
+    """Recursive-CTE geohash-9 encode over the distinct (lat, lon) points of
+    ``r`` — the literal interleaved bisection (functions/geohash.py and
+    LogEntrySolrItem.java:304-314 via ch.hsr.geohash).  Both engines run the
+    identical IEEE-double recurrence mid = (lo+hi)/2 with >= splits, so the
+    45 bits agree bit-for-bit.  Only DISTINCT points recurse (the registry
+    dim has ~25), then a join fans the result back out."""
+    chars = " || ".join(
+        f"substr('{_BASE32}', cast((bits >> {5 * (8 - i)}) & 31 AS int) + 1, 1)"
+        for i in range(9)
+    )
+    return f"""
+gh_pts AS (
+  SELECT DISTINCT lat, lon FROM r WHERE lat IS NOT NULL AND lon IS NOT NULL
+),
+gh_scan AS (
+  SELECT lat, lon, 0 AS step,
+         CAST(-90.0 AS DOUBLE) AS lat_lo, CAST(90.0 AS DOUBLE) AS lat_hi,
+         CAST(-180.0 AS DOUBLE) AS lon_lo, CAST(180.0 AS DOUBLE) AS lon_hi,
+         0::BIGINT AS bits
+  FROM gh_pts
+  UNION ALL
+  SELECT lat, lon, step + 1,
+    CASE WHEN step % 2 = 0 THEN lat_lo
+         WHEN lat >= (lat_lo + lat_hi) / 2 THEN (lat_lo + lat_hi) / 2
+         ELSE lat_lo END,
+    CASE WHEN step % 2 = 0 THEN lat_hi
+         WHEN lat >= (lat_lo + lat_hi) / 2 THEN lat_hi
+         ELSE (lat_lo + lat_hi) / 2 END,
+    CASE WHEN step % 2 = 1 THEN lon_lo
+         WHEN lon >= (lon_lo + lon_hi) / 2 THEN (lon_lo + lon_hi) / 2
+         ELSE lon_lo END,
+    CASE WHEN step % 2 = 1 THEN lon_hi
+         WHEN lon >= (lon_lo + lon_hi) / 2 THEN lon_hi
+         ELSE (lon_lo + lon_hi) / 2 END,
+    bits * 2 + CASE
+      WHEN step % 2 = 0 THEN
+        CASE WHEN lon >= (lon_lo + lon_hi) / 2 THEN 1 ELSE 0 END
+      ELSE
+        CASE WHEN lat >= (lat_lo + lat_hi) / 2 THEN 1 ELSE 0 END END
+  FROM gh_scan WHERE step < 45
+),
+gh AS (
+  SELECT lat, lon, {chars} AS gh9 FROM gh_scan WHERE step = 45
+)"""
+
+
+def geohash_rows_sql() -> str:
+    prefixes = ",\n  ".join(
+        f"substr(gh.gh9, 1, {p}) AS geohash_{p}" for p in range(1, 10)
+    )
+    return (
+        routed_cte()
+        + ",\n"
+        + geohash_ctes()
+        + f"""
+SELECT r.event_id,
+  {prefixes}
+FROM r LEFT JOIN gh ON r.lat = gh.lat AND r.lon = gh.lon
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Per-query oracle SQL (keys match __spark_entry__.queries()).
 # --------------------------------------------------------------------------
@@ -185,6 +251,7 @@ FROM c""",
         + """SELECT event_id, format_id, format_type, size, rights_holder
 FROM e""",
         "routed_rows": base + f"SELECT {ROUTED_PROJECTION} FROM r",
+        "geohash_rows": geohash_rows_sql(),
         "sink_counts": base
         + """SELECT sink,
   count(*) AS n_rows,
