@@ -187,8 +187,66 @@ SELECT
        WHEN d.doc_id % 3 = 1 THEN 'DATA'
        ELSE 'RESOURCE' END                           AS format_type,
   cast(d.n_chars AS bigint)                          AS size,
-  'org-' || cast(d.doc_id % 7 AS string)             AS rights_holder
+  'org-' || cast(d.doc_id % 7 AS string)             AS rights_holder,
+  {access_rules}                                     AS access_rules
 FROM {documents} d
+"""
+
+# accessPolicy analog (LogAccessRestriction.java:41-89 consumes an
+# array-of-struct accessPolicy: each rule = (permissions[], subjects[])).
+# Three deterministic rule shapes so the F11 flatten has real work:
+# - every doc: a public read rule (read-only → NEVER in read_subjects)
+# - doc_id % 2 = 0: a changePermission rule with two messy-DN subjects
+#   (mixed case + stray whitespace, exercising DN standardization)
+# - doc_id % 3 = 0: a changePermission-only steward rule
+# - docs matching neither: no changePermission rule at all →
+#   read_subjects = [rights_holder] only.
+# Spark and DuckDB build the SAME rows with dialect-specific constructors.
+
+_ADMIN_SUBJ = "'CN=Admin ' || cast(d.doc_id % 5 AS string) || ', DC=Org'"
+_SVC_SUBJ = "'  uid=svc-' || cast(d.doc_id % 3 AS string) || '  '"
+_STEWARD_SUBJ = "'CN = Steward , DC = Org'"
+
+ACCESS_RULES_SPARK = f"""
+  CASE WHEN d.doc_id % 6 = 0 THEN array(
+         named_struct('perms', array('read'),
+                      'subjects', array('Public')),
+         named_struct('perms', array('read', 'write', 'changePermission'),
+                      'subjects', array({_ADMIN_SUBJ}, {_SVC_SUBJ})),
+         named_struct('perms', array('changePermission'),
+                      'subjects', array({_STEWARD_SUBJ})))
+       WHEN d.doc_id % 2 = 0 THEN array(
+         named_struct('perms', array('read'),
+                      'subjects', array('Public')),
+         named_struct('perms', array('read', 'write', 'changePermission'),
+                      'subjects', array({_ADMIN_SUBJ}, {_SVC_SUBJ})))
+       WHEN d.doc_id % 3 = 0 THEN array(
+         named_struct('perms', array('read'),
+                      'subjects', array('Public')),
+         named_struct('perms', array('changePermission'),
+                      'subjects', array({_STEWARD_SUBJ})))
+       ELSE array(
+         named_struct('perms', array('read'),
+                      'subjects', array('Public')))
+  END
+"""
+
+ACCESS_RULES_DUCK = f"""
+  CASE WHEN d.doc_id % 6 = 0 THEN [
+         {{'perms': ['read'], 'subjects': ['Public']}},
+         {{'perms': ['read', 'write', 'changePermission'],
+           'subjects': [{_ADMIN_SUBJ}, {_SVC_SUBJ}]}},
+         {{'perms': ['changePermission'], 'subjects': [{_STEWARD_SUBJ}]}}]
+       WHEN d.doc_id % 2 = 0 THEN [
+         {{'perms': ['read'], 'subjects': ['Public']}},
+         {{'perms': ['read', 'write', 'changePermission'],
+           'subjects': [{_ADMIN_SUBJ}, {_SVC_SUBJ}]}}]
+       WHEN d.doc_id % 3 = 0 THEN [
+         {{'perms': ['read'], 'subjects': ['Public']}},
+         {{'perms': ['changePermission'], 'subjects': [{_STEWARD_SUBJ}]}}]
+       ELSE [
+         {{'perms': ['read'], 'subjects': ['Public']}}]
+  END
 """
 
 
@@ -196,8 +254,14 @@ def sysmeta_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "_dims_documents"
     )
-    return spark.sql(SYSMETA_SQL_TEMPLATE.format(documents="_dims_documents"))
+    return spark.sql(
+        SYSMETA_SQL_TEMPLATE.format(
+            documents="_dims_documents", access_rules=ACCESS_RULES_SPARK
+        )
+    )
 
 
 def sysmeta_sql() -> str:
-    return SYSMETA_SQL_TEMPLATE.format(documents="documents")
+    return SYSMETA_SQL_TEMPLATE.format(
+        documents="documents", access_rules=ACCESS_RULES_DUCK
+    )

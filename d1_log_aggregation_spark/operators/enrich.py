@@ -67,6 +67,40 @@ def with_geohashes(df: DataFrame, precision_cols: bool = True) -> DataFrame:
     return out
 
 
+ACCESS_RULES_TYPE = "array<struct<perms:array<string>,subjects:array<string>>>"
+
+
+def dn_norm(c: F.Column) -> F.Column:
+    """DN standardization analog (LogAccessRestriction.java:66-80 via
+    CertificateManager.standardizeDN, RFC2253): lowercase, trim, collapse
+    whitespace around RDN commas, collapse remaining runs of whitespace."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(c)), r"\s*,\s*", ","), r"\s+", " "
+    )
+
+
+def read_subjects_col() -> F.Column:
+    """F11: flatten the array-of-struct accessPolicy into read_subjects =
+    rightsHolder + every subject of every rule granting changePermission,
+    DN-standardized, deduped, sorted (LogAccessRestriction.java:41-89).
+    Pure nested-type expressions (filter/transform/flatten) — JVM-side,
+    no shuffle, no Python."""
+    rules = F.coalesce(
+        F.col("access_rules"), F.array().cast(ACCESS_RULES_TYPE)
+    )
+    cp_rules = F.filter(
+        rules, lambda r: F.array_contains(r["perms"], "changePermission")
+    )
+    cp_subjects = F.flatten(F.transform(cp_rules, lambda r: r["subjects"]))
+    all_subjects = F.concat(
+        F.array(F.col("rights_holder")),
+        F.transform(cp_subjects, dn_norm),
+    )
+    return F.array_sort(
+        F.array_distinct(F.filter(all_subjects, lambda x: x.isNotNull()))
+    )
+
+
 def enrich_sysmeta(parsed: DataFrame, sysmeta: DataFrame) -> DataFrame:
     """LEFT join pid → sysmeta with reference defaults on miss:
     size → 0 (F9, LogEntrySolrItem.java:251-256), formatId/type → NULL.
@@ -75,11 +109,11 @@ def enrich_sysmeta(parsed: DataFrame, sysmeta: DataFrame) -> DataFrame:
     - subj_norm (F10 analog of RFC2253 DN standardization with raw
       fallback, LogAccessRestriction.java:46-51,66-80): trim + lowercase +
       collapse inner whitespace; blank → NULL;
-    - read_subjects (F11 analog of the readPermission flatten,
-      LogAccessRestriction.java:41-89: rightsHolder + every subject of
-      every CHANGE_PERMISSION rule, deduped): here rights_holder +
-      'public' + a format-type admin group, distinct + sorted for
-      deterministic comparison; exposed both as array and joined string.
+    - read_subjects (F11, the readPermission flatten of
+      LogAccessRestriction.java:41-89): rightsHolder + the DN-standardized
+      subjects of every CHANGE_PERMISSION access rule, distinct + sorted
+      for deterministic comparison; exposed both as array and joined
+      string.  Join misses → empty array (the reference skips the field).
     """
     out = parsed.join(F.broadcast(sysmeta), "pid", "left")
     out = out.withColumn("size", F.coalesce(F.col("size"), F.lit(0)))
@@ -87,22 +121,8 @@ def enrich_sysmeta(parsed: DataFrame, sysmeta: DataFrame) -> DataFrame:
     out = out.withColumn(
         "subj_norm", F.when(subj_norm != "", subj_norm)
     )
-    subjects = F.array_sort(
-        F.array_distinct(
-            F.filter(
-                F.array(
-                    F.col("rights_holder"),
-                    F.lit("public"),
-                    F.when(
-                        F.col("format_type").isNotNull(),
-                        F.concat(F.lit("admin-"), F.lower("format_type")),
-                    ),
-                ),
-                lambda x: x.isNotNull(),
-            )
-        )
-    )
-    out = out.withColumn("read_subjects", subjects)
+    out = out.withColumn("read_subjects", read_subjects_col())
+    out = out.drop("access_rules")
     return out.withColumn(
         "read_subjects_str", F.array_join(F.col("read_subjects"), "|")
     )

@@ -121,11 +121,15 @@ e AS (
     CASE WHEN regexp_replace(lower(trim(rv.subj)), '\\s+', ' ', 'g') <> ''
          THEN regexp_replace(lower(trim(rv.subj)), '\\s+', ' ', 'g')
     END AS subj_norm,
-    array_to_string(list_sort(list_distinct(list_filter(
-      [sm.rights_holder, 'public',
-       CASE WHEN sm.format_type IS NOT NULL
-            THEN 'admin-' || lower(sm.format_type) END],
-      x -> x IS NOT NULL))), '|') AS read_subjects_str,
+    coalesce(array_to_string(list_sort(list_distinct(list_filter(
+      [sm.rights_holder] || list_transform(
+        flatten(list_transform(
+          list_filter(coalesce(sm.access_rules, []),
+                      r -> list_contains(r.perms, 'changePermission')),
+          r -> r.subjects)),
+        s -> regexp_replace(regexp_replace(
+               lower(trim(s)), '\\s*,\\s*', ',', 'g'), '\\s+', ' ', 'g')),
+      x -> x IS NOT NULL))), '|'), '') AS read_subjects_str,
     timestamp '{DATE_AGGREGATED}' AS date_aggregated,
     timestamp '1900-01-01 00:00:00' AS date_updated
   FROM rv
