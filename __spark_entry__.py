@@ -131,6 +131,17 @@ def _q_harvest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harvest_metrics(_routed(spark, sf_dir))
 
 
+def _q_checkpoint_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: the real per-bucket checkpoint aggregation (md5-derived
+    hash32(conv_id) % 64 buckets, watermark in epoch-micros) — the exact
+    relation write_checkpoint persists."""
+    from d1_log_aggregation_spark.checkpoint import checkpoint_rows
+
+    return checkpoint_rows(
+        _routed(spark, sf_dir).filter(F.col("sink") != "dlq")
+    ).orderBy("bucket")
+
+
 def _q_checkpoint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _routed(spark, sf_dir)
@@ -269,6 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_sink_counts": _q_tool_sink_counts,
         "harvest_metrics": _q_harvest_metrics,
         "checkpoint_rows": _q_checkpoint_rows,
+        "checkpoint_buckets": _q_checkpoint_buckets,
         "flagship_clean_reads_per_role": _q_flagship,
         "convs_without_dlq": _q_convs_without_dlq,
         # training-data pipeline ops

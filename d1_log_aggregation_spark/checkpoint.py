@@ -10,9 +10,21 @@ checkpoint table O(parallelism)).  Each checkpoint row carries the lineage
 required by the north_rule: (source snapshot-id, partition/bucket, max
 turn_idx, max ts, row count, run id).
 
+Bucket hash: md5-derived 32-bit (same ``hash32`` family as the dedup
+operators) rather than xxhash64 — a few ns/row slower JVM-side, but
+reproducible by the DuckDB oracle, so the bucket table itself is
+CORRECTNESS-gated (query ``checkpoint_buckets``) instead of trusted.
+
+Watermark encoding: epoch MICROSECONDS (int64), never a rendered
+timestamp string.  A collect() → datetime → isoformat → to_timestamp
+roundtrip silently shifts by the driver's OS timezone offset when it is
+not UTC; integers can't drift.  The ISO string is kept alongside for
+humans only.
+
 Resume semantics (mirrors LogHarvesterTask.java:189-204):
 - new run reads the checkpoint table, keeps only input rows with
-  ``ts > bucket.max_ts`` (the reference harvests from checkpoint+1ms);
+  ``unix_micros(ts) > bucket.max_ts_us`` (the reference harvests from
+  checkpoint+1ms);
 - overlap or replay is harmless because sinks dedup on event_id
   (sinks/writer.py) — nothing counts as done until the snapshot commit,
   and re-committing the same rows is a no-op after dedup.
@@ -35,8 +47,25 @@ from pyspark.sql import functions as F
 DEFAULT_BUCKETS = 64
 
 
+def ts_micros(c: F.Column) -> F.Column:
+    """Epoch micros of a TIMESTAMP or TIMESTAMP_NTZ column.  NTZ values are
+    interpreted in the session timezone (pin spark.sql.session.timeZone=UTC
+    in deployment); the same expression runs at write AND read so the
+    comparison is self-consistent either way."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def bucket_col(conv_id: str = "conv_id", n_buckets: int = DEFAULT_BUCKETS):
-    return F.pmod(F.xxhash64(F.col(conv_id)), F.lit(n_buckets)).cast("int")
+    h = F.conv(F.substring(F.md5(F.col(conv_id)), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
+
+
+def bucket_sql(conv_id: str = "conv_id", n_buckets: int = DEFAULT_BUCKETS) -> str:
+    """DuckDB twin of bucket_col (hash is non-negative, so % == pmod)."""
+    return (
+        f"cast(try_cast(('0x' || substr(md5({conv_id}), 1, 8)) AS bigint)"
+        f" % {n_buckets} AS int)"
+    )
 
 
 def checkpoint_rows(
@@ -47,6 +76,7 @@ def checkpoint_rows(
         routed.withColumn("bucket", bucket_col("conv_id", n_buckets))
         .groupBy("bucket")
         .agg(
+            F.max(ts_micros(F.col("ts"))).alias("max_ts_us"),
             F.max("ts").alias("max_ts"),
             F.max("turn_idx").alias("max_turn_idx"),
             F.count(F.lit(1)).alias("n_rows"),
@@ -69,7 +99,8 @@ def write_checkpoint(
     rows = [
         {
             "bucket": r["bucket"],
-            "max_ts": r["max_ts"].isoformat(),
+            "max_ts_us": r["max_ts_us"],
+            "max_ts_iso": r["max_ts"].isoformat(),  # display only
             "max_turn_idx": r["max_turn_idx"],
             "n_rows": r["n_rows"],
             "run_id": run_id,
@@ -80,7 +111,7 @@ def write_checkpoint(
     merged = {r["bucket"]: r for r in read_checkpoint(path)}
     for r in rows:
         prev = merged.get(r["bucket"])
-        if prev is None or r["max_ts"] > prev["max_ts"]:
+        if prev is None or r["max_ts_us"] > prev["max_ts_us"]:
             merged[r["bucket"]] = r
     out = sorted(merged.values(), key=lambda r: r["bucket"])
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
@@ -107,16 +138,19 @@ def filter_new(
 
     Broadcast join on the tiny checkpoint table; buckets without a
     checkpoint pass through whole (first harvest of that partition).
+    The comparison is integer epoch-micros on both sides — no string or
+    timezone roundtrip anywhere.
     """
     cps = read_checkpoint(path)
     if not cps:
         return transcripts
     cp_df = spark.createDataFrame(
-        [(r["bucket"], r["max_ts"]) for r in cps],
-        "bucket int, max_ts_str string",
-    ).withColumn("cp_max_ts", F.to_timestamp("max_ts_str"))
+        [(r["bucket"], r["max_ts_us"]) for r in cps],
+        "bucket int, cp_max_ts_us long",
+    )
     keyed = transcripts.withColumn("bucket", bucket_col("conv_id", n_buckets))
     out = keyed.join(F.broadcast(cp_df), "bucket", "left")
     return out.filter(
-        F.col("cp_max_ts").isNull() | (F.col("ts") > F.col("cp_max_ts"))
-    ).drop("bucket", "max_ts_str", "cp_max_ts")
+        F.col("cp_max_ts_us").isNull()
+        | (ts_micros(F.col("ts")) > F.col("cp_max_ts_us"))
+    ).drop("bucket", "cp_max_ts_us")

@@ -11,10 +11,13 @@ idempotent driver program run per period (cron / Airflow / manual):
   4. advance the checkpoint             (LDAP write analog — LAST)
   5. emit metrics                        (MetricLogEntry analog)
 
-Concurrency locks (the reference's per-node ``aggregateLogs`` LDAP lock,
-jobs/LogAggregationHarvestJob.java:78-94) are unnecessary: runs are
-idempotent, and double-running merely re-commits rows the sink dedup
-absorbs.
+Concurrency: no global lock (the reference holds a per-node
+``aggregateLogs`` LDAP lock, jobs/LogAggregationHarvestJob.java:78-94).
+Instead, each run commits its own O_EXCL file under ``_commits/`` — two
+racing runs cannot drop each other's snapshot — and double-running merely
+re-commits rows the sink's last-write-wins dedup absorbs.  The checkpoint
+file itself is a single-writer artifact; racing runs can only regress it
+to an older (still-safe, re-processing) watermark, never skip data.
 
 Ship with:  spark-submit --py-files d1_log_aggregation_spark.zip \
                 -m d1_log_aggregation_spark.job <sf_dir> <out_dir>

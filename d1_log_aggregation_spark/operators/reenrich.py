@@ -66,24 +66,25 @@ def reenrich_sinks(
 ) -> dict:
     """Read committed sinks → apply changes → commit as ONE new compacted
     snapshot (replaces the reference's paged query+rewrite loop)."""
-    merged = writer.read_sinks(spark, base_dir)
-    updated = apply_sysmeta_changes(merged, changes, date_updated)
-    import json
     import os
     import time
-    import uuid
 
+    old = writer.read_commits(base_dir)
+    merged = writer.read_sinks(spark, base_dir)
+    updated = apply_sysmeta_changes(merged, changes, date_updated)
     run_dir = os.path.join(base_dir, f"run={run_id}")
     updated.write.mode("overwrite").partitionBy("sink").parquet(run_dir)
-    entry = {
-        "run_id": run_id,
-        "path": run_dir,
-        "compacted": True,
-        "reenriched": True,
-        "committed_at_unix": int(time.time()),
-    }
-    tmp = os.path.join(base_dir, f"_commits.json.tmp.{uuid.uuid4().hex}")
-    with open(tmp, "w") as fh:
-        json.dump([entry], fh, indent=1)
-    os.replace(tmp, os.path.join(base_dir, writer.COMMITS_FILE))
+    # commit the rewrite, then retire the snapshots it replaced (same
+    # reader-safe ordering as writer.compact)
+    entry = writer._write_commit(
+        base_dir,
+        {
+            "run_id": run_id,
+            "path": run_dir,
+            "compacted": True,
+            "reenriched": True,
+            "committed_at_unix": int(time.time()),
+        },
+    )
+    writer.retire_commits(base_dir, old)
     return entry

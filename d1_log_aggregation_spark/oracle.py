@@ -233,6 +233,12 @@ ROUTED_PROJECTION = """
 """
 
 
+def _bucket_sql() -> str:
+    from .checkpoint import DEFAULT_BUCKETS, bucket_sql
+
+    return bucket_sql("conv_id", DEFAULT_BUCKETS)
+
+
 def oracle_queries() -> dict[str, str]:
     base = routed_cte()
     return {
@@ -276,6 +282,16 @@ FROM r WHERE tool_sink IS NOT NULL GROUP BY tool_sink ORDER BY tool_sink""",
   cast(sum(CASE WHEN sink <> 'dlq' THEN 1 ELSE 0 END) AS bigint) AS submitted,
   cast(sum(CASE WHEN sink = 'dlq' THEN 1 ELSE 0 END) AS bigint) AS dlq_rows
 FROM r""",
+        # the REAL bucket path (checkpoint.checkpoint_rows): md5-derived
+        # hash32(conv_id) % n buckets, watermark in epoch-micros
+        "checkpoint_buckets": base
+        + f"""SELECT {_bucket_sql()} AS bucket,
+  max(epoch_us(ts)) AS max_ts_us,
+  max(ts) AS max_ts,
+  max(turn_idx) AS max_turn_idx,
+  count(*) AS n_rows
+FROM r WHERE sink <> 'dlq'
+GROUP BY 1 ORDER BY bucket""",
         "checkpoint_rows": base
         + """SELECT conv_id AS partition_key,
   max(turn_idx) AS max_turn_idx,

@@ -9,16 +9,26 @@ Spark-first replacement: ONE write job for all sinks —
 ``run=<run_id>`` directory, then an atomic pointer-file commit.  This is
 the parquet stand-in for an Iceberg snapshot commit (the Iceberg runtime
 jar is not available in this sandbox; on a real cluster the same call
-sites become ``df.writeTo(tbl).append()`` and the pointer file is the
+sites become ``df.writeTo(tbl).append()`` and the commit files become the
 Iceberg metadata pointer — the abstraction is deliberately thin).
 
-Idempotency contract (north_rule):
+Commit protocol (lock-free, concurrent-safe):
+- each run writes ONE new file ``_commits/<nanos>-<run_id>.json`` with
+  O_CREAT|O_EXCL — two concurrent runs touch two different files, so
+  neither can drop the other's commit (the failure mode of a shared
+  read-modify-write commit log);
+- a run directory is referenced only after its commit file lands, so a
+  killed run leaves garbage that is never read (atomic visibility);
+- readers list the directory and order commits by (committed_at_unix_ns,
+  run_id) — a total order that every reader derives identically.
+
+Idempotency + last-write-wins contract (north_rule):
 - rows carry the deterministic identity event_id = conv_id "." turn_idx;
-- a run directory is referenced only after its _COMMIT pointer lands, so
-  a killed run leaves garbage that is never read (atomic visibility);
-- re-harvest overlaps are removed on read (and by ``compact``) with the
-  same rank-1 window used in-pipeline — the reader-side analog of Solr's
-  unique-key overwrite.
+- re-harvest overlaps are removed on read (and by ``compact``) with a
+  rank-1 window ordered by commit sequence DESCENDING first — the exact
+  analog of Solr's unique-key overwrite, where the LAST committed write
+  of a key wins (stale re-commits can never shadow refreshed rows);
+  value columns are only a deterministic tiebreak WITHIN one commit.
 
 NEVER a per-sink filter+write loop over the full input: that would scan
 the routed frame once per sink.  partitionBy scans once.
@@ -29,34 +39,61 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-COMMITS_FILE = "_commits.json"
+COMMITS_DIR = "_commits"
 
 
-def _commits_path(base_dir: str) -> str:
-    return os.path.join(base_dir, COMMITS_FILE)
+def _commits_dir(base_dir: str) -> str:
+    return os.path.join(base_dir, COMMITS_DIR)
 
 
 def read_commits(base_dir: str) -> list[dict]:
-    path = _commits_path(base_dir)
-    if not os.path.exists(path):
+    """All committed snapshots in commit order (oldest first)."""
+    cdir = _commits_dir(base_dir)
+    if not os.path.isdir(cdir):
         return []
-    with open(path) as fh:
-        return json.load(fh)
+    entries = []
+    for name in os.listdir(cdir):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(cdir, name)) as fh:
+            entries.append(json.load(fh))
+    entries.sort(key=lambda e: (e["committed_at_unix_ns"], e["run_id"]))
+    return entries
 
 
-def _append_commit(base_dir: str, entry: dict) -> None:
-    """Atomic pointer update: write-temp + rename (POSIX atomic)."""
-    commits = read_commits(base_dir)
-    commits.append(entry)
-    tmp = _commits_path(base_dir) + f".tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        json.dump(commits, fh, indent=1)
-    os.replace(tmp, _commits_path(base_dir))
+def _write_commit(base_dir: str, entry: dict) -> dict:
+    """Create the run's own commit file with O_EXCL — never a shared
+    read-modify-write, so concurrent runs cannot lose each other's
+    commits."""
+    cdir = _commits_dir(base_dir)
+    os.makedirs(cdir, exist_ok=True)
+    while True:
+        entry["committed_at_unix_ns"] = time.time_ns()
+        path = os.path.join(
+            cdir, f"{entry['committed_at_unix_ns']}-{entry['run_id']}.json"
+        )
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:  # same run_id in the same nanosecond
+            continue
+        with os.fdopen(fd, "w") as fh:
+            json.dump(entry, fh, indent=1)
+        return entry
+
+
+def retire_commits(base_dir: str, entries: list[dict]) -> None:
+    """Remove the commit files of snapshots replaced by a compaction."""
+    cdir = _commits_dir(base_dir)
+    for e in entries:
+        path = os.path.join(
+            cdir, f"{e['committed_at_unix_ns']}-{e['run_id']}.json"
+        )
+        if os.path.exists(path):
+            os.remove(path)
 
 
 def write_snapshot(
@@ -81,8 +118,7 @@ def write_snapshot(
         "committed_at_unix": int(time.time()),
         **(extra or {}),
     }
-    _append_commit(base_dir, entry)
-    return entry
+    return _write_commit(base_dir, entry)
 
 
 DEDUP_KEY = ["conv_id", "turn_idx"]
@@ -90,45 +126,60 @@ DEDUP_TIEBREAK = ["text", "ts", "role", "tool"]
 
 
 def read_sinks(spark: SparkSession, base_dir: str) -> DataFrame:
-    """Union of all COMMITTED snapshots, overlap-deduped on the natural key.
+    """Union of all COMMITTED snapshots, overlap-deduped on the natural key
+    with LAST-WRITE-WINS across commits (Solr unique-key semantics).
 
-    Uncommitted (killed-run) directories are invisible: only paths in the
-    commit log are read.
+    Uncommitted (killed-run) directories are invisible: only paths with a
+    commit file are read.  Each snapshot is tagged with its commit
+    sequence; the dedup window keeps the row from the HIGHEST sequence,
+    falling back to value columns only for ties within one commit.
     """
     commits = read_commits(base_dir)
     if not commits:
         raise FileNotFoundError(f"no committed snapshots under {base_dir}")
-    df = spark.read.option("basePath", commits[0]["path"]).parquet(
-        commits[0]["path"]
-    )
-    for c in commits[1:]:
-        nxt = spark.read.option("basePath", c["path"]).parquet(c["path"])
-        df = df.unionByName(nxt, allowMissingColumns=True)
+    df = None
+    for seq, c in enumerate(commits):
+        nxt = (
+            spark.read.option("basePath", c["path"])
+            .parquet(c["path"])
+            .withColumn("_commit_seq", F.lit(seq))
+        )
+        df = nxt if df is None else df.unionByName(
+            nxt, allowMissingColumns=True
+        )
     tiebreak = [c for c in DEDUP_TIEBREAK if c in df.columns]
     w = Window.partitionBy(*DEDUP_KEY).orderBy(
-        *[F.col(c).asc_nulls_first() for c in tiebreak]
+        F.col("_commit_seq").desc(),
+        *[F.col(c).asc_nulls_first() for c in tiebreak],
     )
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
-        .drop("_rk")
+        .drop("_rk", "_commit_seq")
     )
 
 
 def compact(spark: SparkSession, base_dir: str, run_id: str) -> dict:
-    """Rewrite all committed snapshots as one deduped snapshot and truncate
-    the commit log to it (Iceberg rewrite_data_files analog)."""
+    """Rewrite all committed snapshots as one deduped snapshot and retire
+    the merged commit files (Iceberg rewrite_data_files analog).
+
+    Ordering: the compacted commit file lands BEFORE the merged ones are
+    removed, so a concurrent READER sees either (old commits), (old + new)
+    — deduped to the same rows — or (new only); never a gap.  Like Iceberg
+    rewrite_data_files, compaction assumes no concurrent WRITER (a commit
+    racing the compaction could be shadowed for overlapping keys)."""
+    old = read_commits(base_dir)
     merged = read_sinks(spark, base_dir)
     run_dir = os.path.join(base_dir, f"run={run_id}")
     merged.write.mode("overwrite").partitionBy("sink").parquet(run_dir)
-    tmp = _commits_path(base_dir) + f".tmp.{uuid.uuid4().hex}"
-    entry = {
-        "run_id": run_id,
-        "path": run_dir,
-        "compacted": True,
-        "committed_at_unix": int(time.time()),
-    }
-    with open(tmp, "w") as fh:
-        json.dump([entry], fh, indent=1)
-    os.replace(tmp, _commits_path(base_dir))
+    entry = _write_commit(
+        base_dir,
+        {
+            "run_id": run_id,
+            "path": run_dir,
+            "compacted": True,
+            "committed_at_unix": int(time.time()),
+        },
+    )
+    retire_commits(base_dir, old)
     return entry

@@ -80,6 +80,33 @@ def test_kill_before_commit_is_invisible_and_resumable(spark, tmp_path):
     assert _sorted_rows(merged) == _full_run_rows(spark)
 
 
+def test_recommit_is_last_write_wins(spark, tmp_path):
+    """Solr unique-key semantics: a re-committed event_id with DIFFERENT
+    enrichment values must be shadowed by the newest commit, regardless of
+    how the values themselves sort (ADVICE r1: the old value-ordered
+    window could let a stale row win)."""
+    out = str(tmp_path / "sinks")
+    t = load_transcripts(spark, SF)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+    routed = run_pipeline(t, reg, sm, CFG)
+
+    writer.write_snapshot(routed, out, "first")
+    # refreshed snapshot: same keys, changed enrichment column
+    refreshed = routed.withColumn("rights_holder", F.lit("org-refreshed"))
+    writer.write_snapshot(refreshed, out, "second")
+
+    merged = writer.read_sinks(spark, out)
+    vals = {r["rights_holder"] for r in merged.select("rights_holder").collect()}
+    assert vals == {"org-refreshed"}
+
+    # and a third commit restoring originals wins again
+    writer.write_snapshot(routed, out, "third")
+    merged = writer.read_sinks(spark, out)
+    assert "org-refreshed" not in {
+        r["rights_holder"] for r in merged.select("rights_holder").collect()
+    }
+
+
 def test_double_run_is_noop(spark, tmp_path):
     out = str(tmp_path / "sinks")
     t = load_transcripts(spark, SF)
