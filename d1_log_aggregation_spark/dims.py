@@ -128,6 +128,28 @@ def robot_ip_ranges_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def host_range(lo: int, hi: int) -> tuple[int, int]:
+    """SubnetUtils default *exclusive* semantics: network and broadcast
+    addresses are not in range when the block has >2 addresses
+    (commons-net SubnetUtils#isInclusiveHostCount=false)."""
+    if hi - lo >= 3:
+        return lo + 1, hi - 1
+    return lo, hi
+
+
+def robot_ip_host_ranges_df(spark: SparkSession) -> DataFrame:
+    """The CIDR dim with host-range semantics PRE-applied — the input shape
+    classify.robot_ip_match_join expects (the join must stay a plain
+    BETWEEN; folding host semantics into the join condition would block
+    range-join optimizations)."""
+    rows = [
+        (*host_range(lo, hi), label) for lo, hi, label in robot_ip_ranges()
+    ]
+    return spark.createDataFrame(
+        rows, "net_lo long, net_hi long, bot_label string"
+    )
+
+
 def robot_ip_ranges_values_sql() -> str:
     """VALUES CTE body for the DuckDB oracle — same (lo, hi, label) rows."""
     rows = ", ".join(

@@ -38,19 +38,11 @@ from pyspark.sql import functions as F
 from .. import dims
 
 
-def _host_range(lo: int, hi: int) -> tuple[int, int]:
-    """SubnetUtils exclusive semantics: drop network+broadcast when the
-    block has >2 addresses."""
-    if hi - lo >= 3:
-        return lo + 1, hi - 1
-    return lo, hi
-
-
 def robot_ip_match_expr(ip_long: Column) -> Column:
     """ip_long ∈ any robot range (broadcast-literal fold — dim has 7 rows)."""
     cond = F.lit(False)
     for lo, hi, _label in dims.robot_ip_ranges():
-        hlo, hhi = _host_range(lo, hi)
+        hlo, hhi = dims.host_range(lo, hi)
         cond = cond | ((ip_long >= hlo) & (ip_long <= hhi))
     return cond
 
@@ -58,20 +50,25 @@ def robot_ip_match_expr(ip_long: Column) -> Column:
 def robot_ip_match_join(df: DataFrame, ranges: DataFrame) -> DataFrame:
     """Scale path for a large CIDR dim: broadcast range join + semi-dedup.
     Adds boolean ``ip_in_robot_ranges``.  Used when the dim is too large to
-    fold into an expression."""
+    fold into an expression (the 171-row reference list folds fine; a
+    100k-row blocklist must not become a 100k-term codegen expression).
+
+    ``ranges`` rows are (net_lo, net_hi, ...) with SubnetUtils host-range
+    semantics already applied (dims.robot_ip_host_ranges_df).  The probe
+    side is the DISTINCT ip_long set (far smaller than the event stream),
+    so the O(|ips| × |ranges|) range join never touches full rows; hits
+    broadcast back onto the stream as an equi join."""
+    ips = df.select("ip_long").where(F.col("ip_long").isNotNull()).distinct()
     hits = (
-        df.select("event_id", "ip_long")
-        .join(
+        ips.join(
             F.broadcast(ranges),
             (F.col("ip_long") >= F.col("net_lo"))
             & (F.col("ip_long") <= F.col("net_hi")),
-            "inner",
+            "left_semi",
         )
-        .select("event_id")
-        .distinct()
         .withColumn("ip_in_robot_ranges", F.lit(True))
     )
-    out = df.join(hits, "event_id", "left")
+    out = df.join(F.broadcast(hits), "ip_long", "left")
     return out.fillna({"ip_in_robot_ranges": False})
 
 
@@ -79,8 +76,17 @@ def classify_robots(
     df: DataFrame,
     events_to_check: tuple[str, ...] = ("read",),
     do_robot_ip_check: bool = True,
+    robot_ranges: DataFrame | None = None,
 ) -> DataFrame:
-    """Adds in_partial_robot_list / in_full_robot_list booleans."""
+    """Adds in_partial_robot_list / in_full_robot_list booleans.
+
+    ``robot_ranges``: optional large CIDR dim (net_lo, net_hi with host
+    semantics pre-applied) — switches the ip membership test from the
+    folded expression to the broadcast range join (the scale path)."""
+    drop_cols: list[str] = []
+    if do_robot_ip_check and robot_ranges is not None:
+        df = robot_ip_match_join(df, robot_ranges)
+        drop_cols.append("ip_in_robot_ranges")
     checked = F.lower(F.trim(F.col("event"))).isin(list(events_to_check))
     ua = F.trim(F.col("ua"))
     ua_blank = F.col("ua").isNull() | (F.col("ua") == "")
@@ -96,7 +102,11 @@ def classify_robots(
         both_from_ua = ua_partial & ua_full
         ip_blank = F.col("ip").isNull() | (F.trim(F.col("ip")) == "")
         ip_bad = F.col("ip_long").isNull()  # blank, bogus, or IPv6
-        ip_robot = robot_ip_match_expr(F.col("ip_long"))
+        ip_robot = (
+            F.col("ip_in_robot_ranges")
+            if robot_ranges is not None
+            else robot_ip_match_expr(F.col("ip_long"))
+        )
         # check runs ⇔ not both already true
         partial = F.when(both_from_ua, ua_partial).otherwise(
             F.when(ip_blank | ip_bad, F.lit(False)).otherwise(
@@ -118,7 +128,7 @@ def classify_robots(
             ),
             "in_full_robot_list": F.when(checked, full).otherwise(F.lit(False)),
         }
-    )
+    ).drop(*drop_cols)
 
 
 # ---- Oracle-side (DuckDB) equivalent --------------------------------------
@@ -142,7 +152,7 @@ def classify_sql_columns(
         }
     ranges = []
     for lo, hi, _ in dims.robot_ip_ranges():
-        hlo, hhi = _host_range(lo, hi)
+        hlo, hhi = dims.host_range(lo, hi)
         ranges.append(f"(ip_long >= {hlo} AND ip_long <= {hhi})")
     ip_robot = "(" + " OR ".join(ranges) + ")"
     ip_bad = "(ip IS NULL OR trim(ip) = '' OR ip_long IS NULL)"

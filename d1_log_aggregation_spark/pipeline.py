@@ -46,6 +46,9 @@ class PipelineConfig:
     repeat_visit_interval_seconds: int = 30
     events_to_check: tuple[str, ...] = ("read",)
     do_robot_ip_check: bool = True
+    # ip membership via broadcast range join instead of the folded
+    # expression — the path for CIDR dims too large to fold (J5 scale path)
+    robot_ip_via_join: bool = False
     with_geohash: bool = True
     # fixed run stamp so outputs are deterministic/testable (the reference
     # stamps dateAggregated=now, LogHarvesterTask.java:346,355)
@@ -81,10 +84,12 @@ def run_pipeline(
     if cfg.salt_buckets > 0:
         # Hot-conversation skew: spread each conv over salt buckets for the
         # parse/classify map stages; the dedup window below re-shuffles on
-        # its own key anyway, so salting costs nothing extra there.
+        # its own key anyway, so salting costs nothing extra there.  The
+        # salt is a deterministic hash of turn_idx (NOT rand(): salting
+        # must never make the run non-reproducible).
         df = df.repartition(
             F.col("conv_id"),
-            (F.rand(seed=7) * cfg.salt_buckets).cast("int"),
+            F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(cfg.salt_buckets)),
         )
     df = dedup_turns(df)
     # enrichment (broadcast joins, pure map-side) runs BEFORE the
@@ -98,10 +103,16 @@ def run_pipeline(
         events_to_check=cfg.events_to_check,
         fuse_geohash=cfg.with_geohash,
     )
+    robot_ranges = None
+    if cfg.do_robot_ip_check and cfg.robot_ip_via_join:
+        robot_ranges = dims.robot_ip_host_ranges_df(
+            transcripts.sparkSession
+        )
     df = classify_robots(
         df,
         events_to_check=cfg.events_to_check,
         do_robot_ip_check=cfg.do_robot_ip_check,
+        robot_ranges=robot_ranges,
     )
     if cfg.with_geohash:
         for p in range(1, 9):
