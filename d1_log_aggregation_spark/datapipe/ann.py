@@ -90,17 +90,10 @@ def brute_force_topk(
     )
 
 
-def assign_centroids(
-    embeddings: DataFrame, n_centroids: int = 16
-) -> DataFrame:
-    """(vec_id, centroid_id): nearest of the first n_centroids vectors by
-    quantized cosine (deterministic tiebreak: cosine desc, centroid asc)."""
-    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
-    cents = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qvec").alias("qv_c"),
-        F.col("qnorm2").alias("qn_b"),
-    )
+def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, centroid_id): nearest centroid by quantized cosine
+    (deterministic tiebreak: cosine desc, centroid asc).  One broadcast
+    cross join + rank-1 window — the corpus streams, centroids broadcast."""
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "centroid_id",
@@ -118,30 +111,96 @@ def assign_centroids(
     )
 
 
+def _seed_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    return base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qvec").alias("qv_c"),
+        F.col("qnorm2").alias("qn_b"),
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, n_iters: int = 2
+) -> DataFrame:
+    """Deterministic integer k-means over quantized vectors: seed = first
+    n_centroids vectors, then ``n_iters`` rounds of assign → per-dimension
+    floor-mean.  All arithmetic is exact (int sums, one floor(s/c) double
+    op per dimension), so Spark and the DuckDB oracle produce IDENTICAL
+    centroids — the property the r1 'first-C-vectors stand-in' lacked a
+    training step for.
+
+    Plan per iteration: broadcast cross join (assign) + posexplode →
+    groupBy(centroid, pos) partial agg → 16-row collect_list rebuild.
+    The only full-corpus shuffle is the (centroid_id, pos) agg, whose key
+    cardinality is n_centroids × dim — tiny and uniform at any scale.
+    Empty centroids keep their previous position."""
+    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    cents = _seed_centroids(base, n_centroids)
+    for _ in range(n_iters):
+        assign = _assign(base, cents)
+        members = base.join(assign, "vec_id").select(
+            "centroid_id", F.posexplode("qvec").alias("pos", "val")
+        )
+        dims_agg = members.groupBy("centroid_id", "pos").agg(
+            F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("cv")
+        )
+        rebuilt = dims_agg.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("qv_new")
+        )
+        cents = (
+            cents.join(F.broadcast(rebuilt), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("qv_new"), F.col("qv_c")).alias("qv_c"),
+            )
+            .withColumn("qn_b", qdot(F.col("qv_c"), F.col("qv_c")))
+        )
+    return cents
+
+
+def assign_centroids(
+    embeddings: DataFrame, n_centroids: int = 16, n_iters: int = 2
+) -> DataFrame:
+    """(vec_id, centroid_id) under the trained k-means centroids."""
+    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    return _assign(base, kmeans_centroids(embeddings, n_centroids, n_iters))
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    n_iters: int = 2,
 ) -> DataFrame:
-    """IVF search: per query, rank centroids, take top ``nprobe``, search
-    only vectors assigned to those centroids.  Same output shape as
-    brute_force_topk; recall < 1.0 by construction (tested against the
-    brute-force oracle in pytest)."""
+    """IVF search: train k-means centroids, assign every vector to its
+    nearest centroid, then per query rank centroids, take top ``nprobe``,
+    search only vectors assigned to those centroids.  Same output shape as
+    brute_force_topk; recall < 1.0 by construction (floor asserted against
+    the brute-force oracle in pytest).
+
+    The trained centroid table is materialized driver-side (n_centroids ×
+    dim ints — dimension-table sized, like the reference's in-memory dims)
+    so the probe and assignment plans reuse it without re-running the
+    k-means lineage."""
+    spark = embeddings.sparkSession
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
-    assign = assign_centroids(embeddings, n_centroids)
+    trained = kmeans_centroids(embeddings, n_centroids, n_iters).collect()
+    cents = spark.createDataFrame(
+        [(r["centroid_id"], r["qv_c"], r["qn_b"]) for r in trained],
+        "centroid_id long, qv_c array<long>, qn_b long",
+    )
+    assign = _assign(base, cents)
     corpus = base.join(assign, "vec_id")
 
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("qvec").alias("qv_q"),
         F.col("qnorm2").alias("qn_a"),
-    )
-    cents = corpus.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qvec").alias("qv_c"),
-        F.col("qnorm2").alias("qn_b"),
     )
     qc = q.crossJoin(F.broadcast(cents)).select(
         "query_id",

@@ -264,8 +264,68 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def _kmeans_ctes(n_centroids: int, n_iters: int) -> str:
+    """Unrolled integer k-means iterations (twin of ann.kmeans_centroids):
+    cents_0 = first C vectors; each round assigns by quantized cosine and
+    rebuilds centroids as per-dimension floor-means (exact in both
+    engines).  The final trained table is aliased ``cents``."""
+    cos = (
+        lambda qa, qb, a, b: f"round(cast({_qdot(a, b)} AS bigint)"
+        f" / sqrt(cast({qa} AS double) * cast({qb} AS double)), 9)"
+    )
+    parts = [
+        f"""
+cents_0 AS (
+  SELECT vec_id AS centroid_id, qvec AS qv_c, qnorm2 AS qn_b
+  FROM base2 WHERE vec_id < {n_centroids}
+)"""
+    ]
+    for it in range(n_iters):
+        nxt = it + 1
+        qv = f"coalesce(r_{it}.qv_new, c.qv_c)"
+        parts.append(
+            f"""
+a_{it} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT b.vec_id, c.centroid_id, row_number() OVER (
+      PARTITION BY b.vec_id
+      ORDER BY {cos('b.qnorm2', 'c.qn_b', 'b.qvec', 'c.qv_c')} DESC,
+               c.centroid_id ASC
+    ) AS r
+    FROM base2 b CROSS JOIN cents_{it} c
+  ) WHERE r = 1
+),
+m_{it} AS (
+  SELECT a.centroid_id,
+         generate_subscripts(b.qvec, 1) AS pos,
+         unnest(b.qvec) AS val
+  FROM a_{it} a JOIN base2 b ON a.vec_id = b.vec_id
+),
+d_{it} AS (
+  SELECT centroid_id, pos,
+         cast(floor(sum(val) * 1.0 / count(*)) AS bigint) AS cv
+  FROM m_{it} GROUP BY 1, 2
+),
+r_{it} AS (
+  SELECT centroid_id, list(cv ORDER BY pos) AS qv_new
+  FROM d_{it} GROUP BY 1
+),
+cents_{nxt} AS (
+  SELECT c.centroid_id, {qv} AS qv_c,
+         cast({_qdot(qv, qv)} AS bigint) AS qn_b
+  FROM cents_{it} c LEFT JOIN r_{it} ON c.centroid_id = r_{it}.centroid_id
+)"""
+        )
+    parts.append(f"\ncents AS (SELECT * FROM cents_{n_iters})")
+    return ",".join(parts)
+
+
 def ivf_topk_sql(
-    n_queries: int = 8, k: int = 5, n_centroids: int = 16, nprobe: int = 4
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 2,
 ) -> str:
     cos = (
         lambda qa, qb, a, b: f"round(cast({_qdot(a, b)} AS bigint)"
@@ -273,10 +333,7 @@ def ivf_topk_sql(
     )
     return f"""
 WITH {_ann_base()},
-cents AS (
-  SELECT vec_id AS centroid_id, qvec AS qv_c, qnorm2 AS qn_b
-  FROM base2 WHERE vec_id < {n_centroids}
-),
+{_kmeans_ctes(n_centroids, n_iters)},
 assign0 AS (
   SELECT b.vec_id, c.centroid_id,
          {cos('b.qnorm2', 'c.qn_b', 'b.qvec', 'c.qv_c')} AS cosine

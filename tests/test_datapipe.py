@@ -91,13 +91,16 @@ def test_corpus_deduped_survivorship(spark):
 
 
 def test_ivf_recall_vs_brute_force(spark):
+    """Trained (2-iteration integer k-means) centroids: recall floor 0.6
+    at nprobe=4/16 — the r1 first-C-vectors stand-in gave uncontrolled
+    recall; training makes the floor assertable."""
     embs = spark.read.parquet(f"{SF}/embeddings.parquet")
     brute = ann.brute_force_topk(embs, n_queries=8, k=5).collect()
     ivf = ann.ivf_topk(embs, n_queries=8, k=5, nprobe=4).collect()
     truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
     got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.5, f"IVF recall {recall}"
+    assert recall >= 0.6, f"IVF recall {recall}"
     # exact scores agree where both found the neighbor
     bscore = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in brute}
     for r in ivf:
