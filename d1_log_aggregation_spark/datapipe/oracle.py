@@ -13,12 +13,15 @@ HASH32 = "try_cast(('0x' || substr(md5({c}), 1, 8)) AS bigint)"
 
 
 def _sh_cte() -> str:
-    """corpus → exploded distinct shingles (doc_id, sh)."""
+    """corpus → exploded distinct shingles keyed by the 63-bit shingle id
+    (dedup.shingle_key twin)."""
+    key = D.SHINGLE_KEY_SQL.format(c="sh_str")
     return f"""
 corpus AS ({corpus_sql()}),
-sh AS (
-  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh FROM corpus
+sh0 AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str FROM corpus
 ),
+sh AS (SELECT doc_id, {key} AS sh FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
 """
 
@@ -102,17 +105,15 @@ def _sig_exprs() -> str:
 
 
 def minhash_signatures_sql() -> str:
-    h = HASH32.format(c="sh")
     return f"""
 WITH {_sh_cte()},
-hh AS (SELECT doc_id, {h} AS h FROM sh)
+hh AS (SELECT doc_id, sh & 4294967295 AS h FROM sh)
 SELECT doc_id, {_sig_exprs()}
 FROM hh GROUP BY doc_id
 """
 
 
 def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
-    h = HASH32.format(c="sh")
     rows = D.N_HASHES // D.N_BANDS
     band_selects = []
     for band in range(D.N_BANDS):
@@ -125,7 +126,7 @@ def minhash_lsh_pairs_sql(threshold: float = 0.5) -> str:
     bands = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_sh_cte()},
-hh AS (SELECT doc_id, {h} AS h FROM sh),
+hh AS (SELECT doc_id, sh & 4294967295 AS h FROM sh),
 sigs AS (SELECT doc_id, {_sig_exprs()} FROM hh GROUP BY doc_id),
 banded AS ({bands}),
 cands AS (
