@@ -253,6 +253,23 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.simhash_pairs(load_corpus(spark, sf_dir), max_hamming=3)
 
 
+def _q_embedding_neardup_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    return vectors.embedding_neardup_bruteforce(
+        vectors.load_vector_corpus(spark, sf_dir), threshold=0.9,
+        sample_mod=5,
+    )
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    return vectors.embedding_neardup_pairs(
+        vectors.load_vector_corpus(spark, sf_dir), threshold=0.9
+    )
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_ann.brute_force_topk(_embs(spark, sf_dir))
 
@@ -295,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_bruteforce_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
+        "embedding_neardup_bruteforce": _q_embedding_neardup_brute,
+        "embedding_neardup_pairs": _q_embedding_neardup,
         "multimodal_features": _q_multimodal,
     }
 
@@ -314,6 +333,10 @@ def oracle_sql() -> dict[str, str]:
             "simhash_pairs": dp_oracle.simhash_pairs_sql(3),
             "ann_bruteforce_topk": dp_oracle.brute_force_topk_sql(),
             "ann_ivf_topk": dp_oracle.ivf_topk_sql(),
+            "embedding_neardup_bruteforce":
+                dp_oracle.embedding_neardup_bruteforce_sql(0.9, sample_mod=5),
+            "embedding_neardup_pairs":
+                dp_oracle.embedding_neardup_pairs_sql(0.9),
             "multimodal_features": dp_oracle.multimodal_features_sql(),
         }
     )

@@ -98,16 +98,15 @@ def run_once(master: str, shuffle_partitions: int, replicate: int = 1) -> dict:
 
     # warm-up: full untimed passes — JVM JIT of the giant codegen'd
     # methods takes several executions to converge (measured 125→40→25 s
-    # on the first three runs at local[32]); limit() warmups don't work
-    # because AQE short-circuits most stages
-    warms = 2 if replicate > 1 else 1
-    for _ in range(warms):
+    # on the first three runs at local[32], and 6.3→2.3 s at sf0.1);
+    # limit() warmups don't work because AQE short-circuits most stages
+    for _ in range(2):
         _mat(routed())
 
     queries = {}
     t_all = time.monotonic()
 
-    reps = 5 if replicate > 1 else 1
+    reps = 5 if replicate > 1 else 3
     best = None
     for _ in range(reps):
         t = time.monotonic()
@@ -165,10 +164,15 @@ def run_datapipe(spark) -> dict:
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(corpus),
     }
     for name, fn in jobs.items():
-        _mat(fn())  # warm (JIT + shuffle file reuse)
-        t = time.monotonic()
-        _mat(fn())
-        out[name] = round(time.monotonic() - t, 3)
+        for _ in range(2):  # warm (JIT convergence, see pipeline warm-up)
+            _mat(fn())
+        best = None
+        for _ in range(2):
+            t = time.monotonic()
+            _mat(fn())
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 

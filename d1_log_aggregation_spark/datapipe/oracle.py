@@ -384,6 +384,72 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+# ---- embedding-cosine near-dup ----------------------------------------------
+
+def _vec_base_cte() -> str:
+    from .vectors import vector_corpus_sql
+
+    qvec = QVEC.replace("embedding", "v.embedding")
+    return f"""
+vcorpus AS ({vector_corpus_sql()}),
+vbase AS (SELECT v.vec_id, {qvec} AS qvec FROM vcorpus v),
+vbase2 AS (
+  SELECT vec_id, qvec, cast({_qdot('qvec', 'qvec')} AS bigint) AS qnorm2
+  FROM vbase
+)"""
+
+
+def _vcos(qa: str, qb: str, a: str, b: str) -> str:
+    return (
+        f"round(cast({_qdot(a, b)} AS bigint)"
+        f" / sqrt(cast({qa} AS double) * cast({qb} AS double)), 9)"
+    )
+
+
+def embedding_neardup_bruteforce_sql(
+    threshold: float = 0.9, sample_mod: int = 1
+) -> str:
+    samp = (
+        f"WHERE vec_id % {sample_mod} = 0" if sample_mod > 1 else ""
+    )
+    return f"""
+WITH {_vec_base_cte()},
+vsamp AS (SELECT * FROM vbase2 {samp})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_vcos('a.qnorm2', 'b.qnorm2', 'a.qvec', 'b.qvec')} AS cosine
+FROM vsamp a JOIN vsamp b ON a.vec_id < b.vec_id
+WHERE {_vcos('a.qnorm2', 'b.qnorm2', 'a.qvec', 'b.qvec')} >= {threshold}
+"""
+
+
+def embedding_neardup_pairs_sql(threshold: float = 0.9) -> str:
+    from .vectors import BAND_BITS, N_BANDS, sketch_ctes_sql
+
+    mask = (1 << BAND_BITS) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, '{i}' || '_' ||"
+        f" cast((sketch >> {BAND_BITS * i}) & {mask} AS string) AS band_key"
+        f" FROM sk"
+        for i in range(N_BANDS)
+    )
+    return f"""
+WITH {_vec_base_cte()},
+{sketch_ctes_sql()},
+banded AS ({bands}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {_vcos('a.qnorm2', 'b.qnorm2', 'a.qvec', 'b.qvec')} AS cosine
+FROM cands c
+JOIN vbase2 a ON a.vec_id = c.vec_a
+JOIN vbase2 b ON b.vec_id = c.vec_b
+WHERE {_vcos('a.qnorm2', 'b.qnorm2', 'a.qvec', 'b.qvec')} >= {threshold}
+"""
+
+
 # ---- textstats / multimodal ------------------------------------------------
 
 def doc_textstats_sql() -> str:

@@ -1,0 +1,280 @@
+"""Embedding-cosine near-duplicate detection (the vector-space member of
+the dedup family: exact / Jaccard / MinHash / SimHash / embedding-cosine).
+
+Two paths, same contract as the text dedup operators:
+
+- ``embedding_neardup_bruteforce``: exact all-pairs cosine ≥ threshold —
+  the small-N baseline and the recall oracle.
+- ``embedding_neardup_pairs``: random-hyperplane LSH (sign sketch) —
+  64 Rademacher (±1) hyperplanes → 64-bit sketch → 4 × 16-bit band
+  buckets (65 536 values/band, the scale-safe width) → candidate pairs →
+  EXACT cosine verification of candidates only.  At corpus scale the only
+  pair-producing join is the band-bucket self-join; sketches are one
+  Arrow-batched int64 matmul per batch (``sketch_udf_col``) — Catalyst
+  does not codegen higher-order lambdas, so the pure-expression twin
+  (``_sketch_col``, kept and equality-tested) is ~50× slower.
+
+Determinism contract: vectors are quantized (round(x·1000) int64, see
+ann.py) and the hyperplane signs are generated in PYTHON from md5 and
+inlined as literals into BOTH engines' plans — every sketch bit, bucket,
+and cosine is bit-identical in Spark and DuckDB.  LSH banding here is
+probabilistic (a near-dup pair can miss every band); both engines miss
+IDENTICALLY, and the brute-force twin measures the recall honestly.
+
+The dup-planted vector corpus mirrors corpus.py: the driver's embeddings
+are random (no true near-dups at cosine 0.9), so every vec_id % 10 == 0
+gets a deterministically perturbed copy at vec_id + N — executed by the
+same SQL template in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .ann import cosine_col, qdot, with_qvec
+
+N_PLANES = 64  # 64-bit sketch: 4 × 16-bit bands = 65 536 buckets/band
+N_BANDS = 4
+BAND_BITS = N_PLANES // N_BANDS
+DIM = 64
+INT64_MIN = -(1 << 63)
+
+VCORPUS_SQL_TEMPLATE = """
+SELECT e.vec_id, e.embedding FROM {embeddings} e
+UNION ALL
+SELECT e.vec_id + (SELECT max(vec_id) + 1 FROM {embeddings}) AS vec_id,
+       {perturbed} AS embedding
+FROM {embeddings} e WHERE e.vec_id % 10 = 0
+"""
+
+# mild deterministic perturbation: scale + per-dim nudge keeps cosine vs
+# the original ≈ 0.99 — above any sane near-dup threshold
+PERTURB_SPARK = (
+    "transform(e.embedding,"
+    " x -> cast(x * 0.97 + 0.002 AS float))"
+)
+PERTURB_DUCK = (
+    "list_transform(e.embedding,"
+    " x -> cast(x * 0.97 + 0.002 AS float))"
+)
+
+
+def vector_corpus_sql(embeddings: str = "embeddings", spark_dialect: bool = False) -> str:
+    return VCORPUS_SQL_TEMPLATE.format(
+        embeddings=embeddings,
+        perturbed=PERTURB_SPARK if spark_dialect else PERTURB_DUCK,
+    )
+
+
+def load_vector_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView(
+        "_dp_embeddings"
+    )
+    return spark.sql(vector_corpus_sql("_dp_embeddings", spark_dialect=True))
+
+
+def plane_signs(plane: int, dim: int = DIM) -> list[int]:
+    """Deterministic Rademacher hyperplane: sign_j = ±1 from md5(i_j).
+    Generated driver-side and inlined as literals in BOTH engines."""
+    out = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane}_{j}".encode()).hexdigest()
+        out.append(1 - 2 * (int(h[:8], 16) & 1))
+    return out
+
+
+def planes_matrix(dim: int = DIM) -> "np.ndarray":
+    """(N_PLANES × dim) int64 Rademacher matrix — the literal twin of the
+    per-plane sign lists inlined into both engines' SQL."""
+    return np.array(
+        [plane_signs(i, dim) for i in range(N_PLANES)], dtype=np.int64
+    )
+
+
+def sketch_udf_col(qvec: Column, dim: int = DIM) -> Column:
+    """Arrow-batched sketch: one int64 matmul per batch —
+    (batch × dim) @ (dim × 64) → sign bits → packed uint64 viewed as
+    int64.  Exact integer arithmetic, bit-identical to ``_sketch_col``
+    (asserted in tests) and to the DuckDB CTE twin, but ~50× faster than
+    the 4096-term interpreted higher-order expression: Catalyst does not
+    codegen lambda functions, so the expression path evaluates
+    64 zip_with + 64 aggregate lambdas per row."""
+    planes = planes_matrix(dim)
+    weights = (np.uint64(1) << np.arange(N_PLANES, dtype=np.uint64))
+
+    @pandas_udf("long")
+    def _sketch(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.vstack(qv.to_numpy())  # (batch, dim) int64 — exact
+        bits = (m @ planes.T) >= 0  # (batch, 64)
+        packed = (bits.astype(np.uint64) * weights).sum(
+            axis=1, dtype=np.uint64
+        )
+        return pd.Series(packed.view(np.int64))
+
+    return _sketch(qvec)
+
+
+def _sketch_col(qvec: Column, dim: int = DIM) -> Column:
+    """64-bit sign sketch: bit i = (qvec · plane_i ≥ 0).  Bit 63 enters as
+    INT64_MIN so the packed value stays a valid signed int64 (same trick
+    as dedup.simhash); band extraction shifts+masks, which is sign-fill
+    agnostic in both engines.
+
+    Pure-expression reference implementation — the production path is
+    ``sketch_udf_col`` (same bits, Arrow-vectorized); this one is kept as
+    the plan-transparent twin and equality-tested against it.
+
+    Banding is tuned for near-IDENTICAL duplicates (planted copies sit at
+    cosine ≈ 0.999 → P[band match] ≈ 0.8 per band, miss rate ~2e-3 over
+    4 bands); borderline threshold-0.9 pairs have lower recall, and the
+    exact-cosine verify keeps precision at 1.0 either way."""
+    sketch = None
+    for i in range(N_PLANES):
+        signs = plane_signs(i, dim)
+        plane = F.array(*[F.lit(s) for s in signs])
+        dot = qdot(qvec, plane)
+        weight = INT64_MIN if i == 63 else (1 << i)
+        bit = F.when(dot >= 0, F.lit(weight)).otherwise(F.lit(0))
+        sketch = bit if sketch is None else sketch + bit
+    return sketch.cast("long")
+
+
+def sketch_ctes_sql(dim: int = DIM) -> str:
+    """DuckDB twin of _sketch_col as CTEs over ``vbase2``: a 64-row planes
+    VALUES table (signs list + bit weight) cross-joined to the vectors —
+    a flat plan instead of a 4096-term expression (DuckDB's binder caps
+    expression depth at 128).  Produces CTE ``sk(vec_id, sketch)``."""
+    rows = []
+    for i in range(N_PLANES):
+        signs = plane_signs(i, dim)
+        lst = "[" + ", ".join(str(s) for s in signs) + "]"
+        if i == 63:
+            w = "(-9223372036854775807::BIGINT - 1::BIGINT)"
+        else:
+            w = f"{1 << i}::BIGINT"
+        rows.append(f"({lst}, {w})")
+    values = ",\n    ".join(rows)
+    return f"""
+planes AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) p(signs, weight)
+),
+dots AS (
+  SELECT v.vec_id, p.weight,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 j -> v.qvec[j] * p.signs[j])) AS d
+  FROM vbase2 v CROSS JOIN planes p
+),
+sk AS (
+  SELECT vec_id,
+         cast(sum(CASE WHEN d >= 0 THEN weight ELSE 0 END) AS bigint)
+           AS sketch
+  FROM dots GROUP BY vec_id
+)"""
+
+
+def embedding_neardup_bruteforce(
+    embeddings: DataFrame, threshold: float = 0.9, sample_mod: int = 1
+) -> DataFrame:
+    """(vec_a, vec_b, cosine ≥ threshold) — exact all-pairs baseline.
+    O(N²) by definition; the LSH path below is the scale path.
+    ``sample_mod`` > 1 restricts to vec_id % sample_mod == 0 (the oracle
+    gate runs the quadratic baseline on a deterministic 1/mod subsample —
+    planted copies at vec_id + N survive any mod that divides 10)."""
+    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    if sample_mod > 1:
+        base = base.filter(F.col("vec_id") % sample_mod == 0)
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qvec").alias("qv_a"),
+        F.col("qnorm2").alias("qn_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qvec").alias("qv_b"),
+        F.col("qnorm2").alias("qn_b"),
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
+        "vec_a",
+        "vec_b",
+        qdot(F.col("qv_a"), F.col("qv_b")).alias("qd"),
+        "qn_a",
+        "qn_b",
+    ).withColumn("cosine", F.round(cosine_col(), 9))
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """(vec_a, vec_b, cosine): sign-sketch LSH candidates (any shared 4-bit
+    band) verified with exact quantized cosine — candidate-only, never an
+    all-pairs vector join."""
+    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    sk = base.withColumn("sketch", sketch_udf_col(F.col("qvec")))
+    mask = (1 << BAND_BITS) - 1
+    bands = []
+    for i in range(N_BANDS):
+        bands.append(
+            sk.select(
+                "vec_id",
+                F.concat_ws(
+                    "_",
+                    F.lit(str(i)),
+                    F.shiftright(F.col("sketch"), BAND_BITS * i)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("string"),
+                ).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("qvec").alias("qv_a"),
+        F.col("qnorm2").alias("qn_a"),
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("qvec").alias("qv_b"),
+        F.col("qnorm2").alias("qn_b"),
+    )
+    verified = (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            qdot(F.col("qv_a"), F.col("qv_b")).alias("qd"),
+            "qn_a",
+            "qn_b",
+        )
+        .withColumn("cosine", F.round(cosine_col(), 9))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return verified.select("vec_a", "vec_b", "cosine")

@@ -207,6 +207,33 @@ def flag_repeat_visits_stream_full(
     )
 
 
+def streaming_sink_counts(
+    routed: DataFrame, window_duration: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling-window per-sink counts — the streaming analog
+    of aggregate.sink_counts (A1-A3).  Append mode emits each window once
+    its watermark passes; late rows beyond the watermark are dropped,
+    matching the reference's 'never harvest the current period' rule
+    (LogHarvesterTask.java:160-179)."""
+    return (
+        routed.groupBy(F.window("ts", window_duration), "sink")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("ts").alias("max_ts"),
+            F.sum(F.col("in_full_robot_list").cast("int")).alias(
+                "n_robot_full"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "sink",
+            "n_rows",
+            "max_ts",
+            "n_robot_full",
+        )
+    )
+
+
 def start_pipeline(
     spark,
     input_path: str,

@@ -109,6 +109,54 @@ def test_ivf_recall_vs_brute_force(spark):
             assert bscore[key] == r["cosine"]
 
 
+def test_sketch_udf_matches_expression(spark):
+    """The Arrow-batched matmul sketch must be bit-identical to the
+    pure-expression reference sketch (and hence to the DuckDB twin)."""
+    from pyspark.sql import functions as F
+
+    from d1_log_aggregation_spark.datapipe import vectors
+    from d1_log_aggregation_spark.datapipe.ann import with_qvec
+
+    base = with_qvec(vectors.load_vector_corpus(spark, SF)).select(
+        "vec_id", "qvec"
+    )
+    diff = (
+        base.withColumn("s_udf", vectors.sketch_udf_col(F.col("qvec")))
+        .withColumn("s_expr", vectors._sketch_col(F.col("qvec")))
+        .filter(F.col("s_udf") != F.col("s_expr"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_embedding_neardup_planted_pairs(spark):
+    """The dup-planted vector corpus (perturbed copies at vec_id + N) must
+    surface in the brute-force pairs, and the sign-sketch LSH path must
+    (a) agree exactly with brute force on every pair it emits and
+    (b) recall most planted pairs (banding is probabilistic)."""
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    vc = vectors.load_vector_corpus(spark, SF)
+    n = 500  # sf0.001 embeddings
+    planted = {(i, i + n) for i in range(n) if i % 10 == 0}
+
+    brute = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in vectors.embedding_neardup_bruteforce(vc, 0.9).collect()
+    }
+    assert planted <= set(brute), f"brute missed {planted - set(brute)}"
+
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in vectors.embedding_neardup_pairs(vc, 0.9).collect()
+    }
+    # verified candidates are a subset of brute with identical scores
+    for k, v in lsh.items():
+        assert brute[k] == v
+    recall = len(set(lsh) & planted) / len(planted)
+    assert recall >= 0.8, f"LSH recall {recall}"
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     media = multimodal.with_payload(docs)

@@ -107,6 +107,74 @@ def test_streaming_repeat_visit_state_across_batches(spark, tmp_path):
     }
 
 
+def test_streaming_windowed_sink_counts_match_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation (append mode) over the
+    stream equals the same windowed groupBy over the batch frame."""
+    from d1_log_aggregation_spark.streaming.stream_pipeline import (
+        streaming_sink_counts,
+    )
+
+    inp = str(tmp_path / "in")
+    # ONE file → one micro-batch → no cross-batch disorder; a tight
+    # watermark then closes (and emits) every window except the last
+    # day's (append mode holds windows until the watermark passes them)
+    load_transcripts(spark, SF).coalesce(1).write.parquet(inp)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+
+    stream = read_transcript_stream(spark, inp, max_files_per_trigger=2)
+    routed = streaming_routed(stream, reg, sm, watermark_delay="1 hour")
+    agg = streaming_sink_counts(routed, "1 day")
+    out = str(tmp_path / "agg")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_agg"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["window_start"], r["sink"]): (r["n_rows"], r["n_robot_full"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    from d1_log_aggregation_spark.operators.classify import classify_robots
+    from d1_log_aggregation_spark.operators.dedup import dedup_turns
+    from d1_log_aggregation_spark.operators.enrich import (
+        enrich_registry,
+        enrich_sysmeta,
+    )
+    from d1_log_aggregation_spark.operators.parse import parse_events
+    from d1_log_aggregation_spark.operators.route import route
+
+    b = parse_events(load_transcripts(spark, SF))
+    b = dedup_turns(b)
+    b = classify_robots(b)
+    b = enrich_sysmeta(b, sm)
+    b = enrich_registry(b, reg)
+    b = route(b)
+    expected = {
+        (r["ws"], r["sink"]): (r["n_rows"], r["n_robot_full"])
+        for r in b.groupBy(
+            F.window("ts", "1 day").alias("w"), "sink"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("in_full_robot_list").cast("int")).alias(
+                "n_robot_full"
+            ),
+        )
+        .select(F.col("w.start").alias("ws"), "sink", "n_rows", "n_robot_full")
+        .collect()
+    }
+    # append mode holds back windows not yet past the final watermark
+    # (the corpus's last day), so assert emitted ⊆ expected with exact
+    # values and ≥80% coverage
+    assert got and all(expected[k] == v for k, v in got.items())
+    assert len(got) >= 0.8 * len(expected)
+
+
 def test_start_pipeline_writes_cross_batch_flags(spark, tmp_path):
     """The WRITTEN output of the end-to-end streaming query must carry
     cross-batch-correct repeat-visit flags (VERDICT r1 item 4: the old
