@@ -156,12 +156,20 @@ def run_datapipe(spark) -> dict:
     from d1_log_aggregation_spark.datapipe import dedup
     from d1_log_aggregation_spark.datapipe.corpus import load_corpus
 
+    from d1_log_aggregation_spark.datapipe import ann, vectors
+
     corpus = load_corpus(spark, SF_DIR)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vcorp = vectors.load_vector_corpus(spark, SF_DIR)
     out = {}
     jobs = {
         "dedup_corpus_deduped": lambda: dedup.corpus_deduped(corpus),
         "dedup_minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(corpus),
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(corpus),
+        "ann_ivf_topk": lambda: ann.ivf_topk(embs),
+        "embedding_neardup_pairs": lambda: vectors.embedding_neardup_pairs(
+            vcorp
+        ),
     }
     for name, fn in jobs.items():
         for _ in range(2):  # warm (JIT convergence, see pipeline warm-up)

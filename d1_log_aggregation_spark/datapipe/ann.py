@@ -16,14 +16,21 @@ bit-identical in Spark and DuckDB regardless of float summation order.
 The final cosine = qdot / sqrt(qn_a·qn_b) is a single float op from exact
 ints.  Ranking tiebreak: (cosine desc, vec_id asc).
 
-All vector math is JVM-side (zip_with + aggregate over the array column);
-no Python.
+Hot-path vector math is Arrow-batched int64 numpy (one matmul per batch:
+``score_against_rows`` for corpus-vs-small-matrix scans, ``qdot_pairs``
+for join outputs) — Catalyst does not codegen zip_with/aggregate lambdas,
+so the expression form (``qdot``, kept for tiny/one-off columns) is
+~100× more interpreter work per row.  Results are bit-identical either
+way: exact integer arithmetic in both.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 QUANT = 1000
 
@@ -39,6 +46,66 @@ def qdot(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+def qdot_pairs(a: Column, b: Column) -> Column:
+    """Arrow-batched row-wise int64 dot product — drop-in for ``qdot`` on
+    join outputs (candidate pairs).  Catalyst does not codegen the
+    zip_with/aggregate lambdas, so the expression form evaluates ~128
+    interpreted lambda calls per row; this is one einsum per batch with
+    identical exact-integer results."""
+
+    @pandas_udf("long")
+    def _dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        if len(xa) == 0:
+            return pd.Series([], dtype="int64")
+        ma = np.vstack(xa.to_numpy()).astype(np.int64, copy=False)
+        mb = np.vstack(xb.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return _dot(a, b)
+
+
+def score_against_rows(
+    base: DataFrame, rows: list, out_id: str
+) -> DataFrame:
+    """One streaming pass over ``base`` (vec_id, qvec, qnorm2) scoring
+    every row against a SMALL driver-side matrix ``rows`` of
+    (id, qvec, qnorm2) tuples: batch matmul (batch × dim) @ (dim × C),
+    emitting (vec_id, <out_id>, qd, qn_a, qn_b) — C narrow rows per input
+    row.  The matrix rides in the UDF closure (the broadcast-small-side
+    plan without shipping C vectors per corpus row through the join).
+    Exact int64 arithmetic, bit-identical to the qdot expression."""
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.int64)
+    qn = np.array([r[2] for r in rows], dtype=np.int64)
+    c = len(ids)
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.vstack(pdf["qvec"].to_numpy()).astype(np.int64, copy=False)
+            s = v @ mat.T  # (n, c), exact
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy().astype(np.int64), c
+                    ),
+                    out_id: np.tile(ids, n),
+                    "qd": s.ravel(),
+                    "qn_a": np.repeat(
+                        pdf["qnorm2"].to_numpy().astype(np.int64), c
+                    ),
+                    "qn_b": np.tile(qn, n),
+                }
+            )
+
+    return base.mapInPandas(
+        gen,
+        schema=f"vec_id long, {out_id} long, qd long, qn_a long, qn_b long",
     )
 
 
@@ -62,24 +129,28 @@ def brute_force_topk(
     vec_id), excluding self.  Returns (query_id, neighbor_id, rank,
     cosine)."""
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
-    q = (
-        base.filter(F.col("vec_id") < n_queries)
+    # the tiny query side rides in the scorer's closure; the corpus side
+    # streams — one matmul pass over the corpus, the right brute-force
+    # plan (and ~100× less interpreted-expression work than a per-pair
+    # qdot over the joined rows)
+    q_rows = [
+        (r["vec_id"], r["qvec"], r["qnorm2"])
+        for r in base.filter(F.col("vec_id") < n_queries)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    scored = (
+        score_against_rows(base, q_rows, "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qvec").alias("qv_q"),
-            F.col("qnorm2").alias("qn_a"),
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qd",
+            "qn_a",
+            "qn_b",
         )
+        .withColumn("cosine", F.round(cosine_col(), 9))
     )
-    # broadcast the tiny query side; corpus side streams (at scale this is
-    # one pass over the corpus — the right brute-force plan)
-    scored = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    scored = scored.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        qdot(F.col("qv_q"), F.col("qvec")).alias("qd"),
-        "qn_a",
-        F.col("qnorm2").alias("qn_b"),
-    ).withColumn("cosine", F.round(cosine_col(), 9))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -90,17 +161,16 @@ def brute_force_topk(
     )
 
 
-def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(base: DataFrame, cent_rows: list) -> DataFrame:
     """(vec_id, centroid_id): nearest centroid by quantized cosine
-    (deterministic tiebreak: cosine desc, centroid asc).  One broadcast
-    cross join + rank-1 window — the corpus streams, centroids broadcast."""
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        qdot(F.col("qvec"), F.col("qv_c")).alias("qd"),
-        F.col("qnorm2").alias("qn_a"),
-        "qn_b",
-    ).withColumn("cosine", F.round(cosine_col(), 9))
+    (deterministic tiebreak: ROUNDED cosine desc, centroid asc — the
+    rounding is part of the cross-engine contract, so ranking stays the
+    SQL window, not an in-UDF argmax).  The centroid matrix rides in the
+    scorer closure (MLlib-style driver-side centroids); the corpus
+    streams through one matmul pass."""
+    scored = score_against_rows(base, cent_rows, "centroid_id").withColumn(
+        "cosine", F.round(cosine_col(), 9)
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cosine").desc(), F.col("centroid_id").asc()
     )
@@ -111,12 +181,13 @@ def _assign(base: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _seed_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
-    return base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("qvec").alias("qv_c"),
-        F.col("qnorm2").alias("qn_b"),
-    )
+def _seed_centroid_rows(base: DataFrame, n_centroids: int) -> list:
+    return [
+        (r["vec_id"], list(r["qvec"]), r["qnorm2"])
+        for r in base.filter(F.col("vec_id") < n_centroids)
+        .orderBy("vec_id")
+        .collect()
+    ]
 
 
 def kmeans_centroids(
@@ -129,15 +200,17 @@ def kmeans_centroids(
     centroids — the property the r1 'first-C-vectors stand-in' lacked a
     training step for.
 
-    Plan per iteration: broadcast cross join (assign) + posexplode →
-    groupBy(centroid, pos) partial agg → 16-row collect_list rebuild.
-    The only full-corpus shuffle is the (centroid_id, pos) agg, whose key
+    Plan per iteration: one corpus matmul pass (assign) + posexplode →
+    groupBy(centroid, pos) partial agg → n_centroids-row collect.  The
+    only full-corpus shuffle is the (centroid_id, pos) agg, whose key
     cardinality is n_centroids × dim — tiny and uniform at any scale.
-    Empty centroids keep their previous position."""
+    Centroids live driver-side between iterations (MLlib-style); empty
+    centroids keep their previous position."""
+    spark = embeddings.sparkSession
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
-    cents = _seed_centroids(base, n_centroids)
+    cent_rows = _seed_centroid_rows(base, n_centroids)
     for _ in range(n_iters):
-        assign = _assign(base, cents)
+        assign = _assign(base, cent_rows)
         members = base.join(assign, "vec_id").select(
             "centroid_id", F.posexplode("qvec").alias("pos", "val")
         )
@@ -150,15 +223,19 @@ def kmeans_centroids(
                 lambda s: s["cv"],
             ).alias("qv_new")
         )
-        cents = (
-            cents.join(F.broadcast(rebuilt), "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce(F.col("qv_new"), F.col("qv_c")).alias("qv_c"),
+        new = {r["centroid_id"]: list(r["qv_new"]) for r in rebuilt.collect()}
+        cent_rows = [
+            (
+                cid,
+                new.get(cid, qv),
+                sum(x * x for x in new.get(cid, qv)),  # exact int norm
             )
-            .withColumn("qn_b", qdot(F.col("qv_c"), F.col("qv_c")))
-        )
-    return cents
+            for cid, qv, _qn in cent_rows
+        ]
+    return spark.createDataFrame(
+        [(cid, qv, qn) for cid, qv, qn in cent_rows],
+        "centroid_id long, qv_c array<long>, qn_b long",
+    )
 
 
 def assign_centroids(
@@ -166,7 +243,10 @@ def assign_centroids(
 ) -> DataFrame:
     """(vec_id, centroid_id) under the trained k-means centroids."""
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
-    return _assign(base, kmeans_centroids(embeddings, n_centroids, n_iters))
+    trained = kmeans_centroids(embeddings, n_centroids, n_iters).collect()
+    return _assign(
+        base, [(r["centroid_id"], list(r["qv_c"]), r["qn_b"]) for r in trained]
+    )
 
 
 def ivf_topk(
@@ -190,11 +270,13 @@ def ivf_topk(
     spark = embeddings.sparkSession
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
     trained = kmeans_centroids(embeddings, n_centroids, n_iters).collect()
+    cent_rows = [
+        (r["centroid_id"], list(r["qv_c"]), r["qn_b"]) for r in trained
+    ]
     cents = spark.createDataFrame(
-        [(r["centroid_id"], r["qv_c"], r["qn_b"]) for r in trained],
-        "centroid_id long, qv_c array<long>, qn_b long",
+        cent_rows, "centroid_id long, qv_c array<long>, qn_b long"
     )
-    assign = _assign(base, cents)
+    assign = _assign(base, cent_rows)
     corpus = base.join(assign, "vec_id")
 
     q = base.filter(F.col("vec_id") < n_queries).select(
@@ -224,7 +306,7 @@ def ivf_topk(
     scored = cand.filter(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        qdot(F.col("qv_q"), F.col("qvec")).alias("qd"),
+        qdot_pairs(F.col("qv_q"), F.col("qvec")).alias("qd"),
         "qn_a",
         F.col("qnorm2").alias("qn_b"),
     ).withColumn("cosine", F.round(cosine_col(), 9))

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .ann import cosine_col, qdot, with_qvec
+from .ann import cosine_col, qdot, qdot_pairs, with_qvec
 
 N_PLANES = 64  # 64-bit sketch: 4 × 16-bit bands = 65 536 buckets/band
 N_BANDS = 4
@@ -206,7 +206,7 @@ def embedding_neardup_bruteforce(
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b")).select(
         "vec_a",
         "vec_b",
-        qdot(F.col("qv_a"), F.col("qv_b")).alias("qd"),
+        qdot_pairs(F.col("qv_a"), F.col("qv_b")).alias("qd"),
         "qn_a",
         "qn_b",
     ).withColumn("cosine", F.round(cosine_col(), 9))
@@ -270,7 +270,7 @@ def embedding_neardup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            qdot(F.col("qv_a"), F.col("qv_b")).alias("qd"),
+            qdot_pairs(F.col("qv_a"), F.col("qv_b")).alias("qd"),
             "qn_a",
             "qn_b",
         )

@@ -61,6 +61,123 @@ def anchor_scan(ts_us: np.ndarray, interval_us: int) -> np.ndarray:
     return out
 
 
+def scan_flags_scalar(
+    rn: np.ndarray,
+    chk: np.ndarray,
+    ts_us: np.ndarray,
+    interval_us: int,
+    state: tuple[int, bool, int],
+) -> tuple[np.ndarray, tuple[int, bool, int]]:
+    """Reference per-row scan over one Arrow batch (the original loop).
+
+    ``state`` = (anchor, has_anchor, last_checked_ts) carried across
+    batches of one partition; rn == 1 marks the first row of a new
+    (ip, pid) key.  Kept as the property-test twin of
+    ``scan_flags_vectorized``."""
+    n = len(rn)
+    out = np.zeros(n, dtype=bool)
+    a, ha, last = state
+    for i in range(n):
+        if rn[i] == 1:
+            ha = False
+        if not chk[i]:
+            continue
+        t = ts_us[i]
+        if not ha:
+            a, ha = t, True
+        elif a < t < a + interval_us:
+            out[i] = True
+        else:
+            a = t
+        last = t
+    return out, (a, ha, last)
+
+
+def scan_flags_vectorized(
+    rn: np.ndarray,
+    chk: np.ndarray,
+    ts_us: np.ndarray,
+    interval_us: int,
+    state: tuple[int, bool, int],
+) -> tuple[np.ndarray, tuple[int, bool, int]]:
+    """Vectorized anchor scan — same contract as ``scan_flags_scalar``.
+
+    Two exact decompositions replace the per-row Python loop:
+
+    1. **Run split**: the anchor is always ≤ the previous checked
+       timestamp of its key, so a gap ≥ interval between consecutive
+       checked rows forces a non-repeat + re-anchor regardless of the
+       anchor's exact value.  Checked rows therefore split into
+       independent "runs" at key boundaries and ≥-interval gaps — all
+       found with vectorized diffs.
+    2. **Anchor jump**: inside a run, for anchor ``a`` every row with
+       t == a is a non-repeat (re-anchors to the same value), every row
+       in (a, a+I) is a repeat, and the first row ≥ a+I is the next
+       anchor — so the scan advances anchor-to-anchor with two
+       ``searchsorted`` calls instead of row-by-row.
+
+    Python-level iterations = (#multi-row runs + #anchors inside them):
+    single-row runs (sparse traffic — the common case) are flag-false by
+    construction and never touched by Python; scraper bursts cost one
+    iteration per interval window instead of one per hit.
+    """
+    n = len(rn)
+    out = np.zeros(n, dtype=bool)
+    anchor, has_anchor, last_ts = state
+    new_key = rn == 1
+    ck = np.cumsum(new_key)  # 0 = the key carried in from the prior batch
+    idx = np.flatnonzero(chk)
+    if idx.size == 0:
+        if n and ck[-1] > 0:
+            return out, (0, False, 0)
+        return out, state
+    t = ts_us[idx]
+    kid = ck[idx]
+
+    fresh = np.empty(idx.size, dtype=bool)
+    if idx.size > 1:
+        fresh[1:] = (kid[1:] != kid[:-1]) | (
+            t[1:] - t[:-1] >= interval_us
+        )
+    if kid[0] != 0 or not has_anchor:
+        fresh[0] = True
+    else:
+        fresh[0] = t[0] - last_ts >= interval_us
+    starts = np.flatnonzero(fresh)
+    bounds = np.append(starts, idx.size)
+
+    def jump(j: int, e: int, a: int) -> int:
+        """Anchor-jump over checked positions [j, e); returns final anchor."""
+        while j < e:
+            eq_end = j + np.searchsorted(t[j:e], a, side="right")
+            rep_end = j + np.searchsorted(t[j:e], a + interval_us, side="left")
+            out[idx[eq_end:rep_end]] = True
+            if rep_end >= e:
+                break
+            a = int(t[rep_end])
+            j = rep_end
+        return a
+
+    a_final = anchor
+    if not fresh[0]:
+        # continue the carried run under the carried anchor (may mark
+        # repeats even in a single-row prefix)
+        a_final = jump(0, int(bounds[0]), anchor)
+    # only multi-row runs can contain repeats; single-row runs stay
+    # flag-false with anchor = their own timestamp — no Python work
+    lens = np.diff(bounds)
+    for r in np.flatnonzero(lens >= 2):
+        s, e = int(bounds[r]), int(bounds[r + 1])
+        a_final = jump(s, e, int(t[s]))
+    if starts.size and lens[-1] < 2:
+        # the final run is single-row: its anchor is its own timestamp
+        a_final = int(t[int(bounds[-2])])
+
+    if ck[-1] > kid[-1]:  # a new key opened after the last checked row
+        return out, (0, False, 0)
+    return out, (a_final, True, int(t[-1]))
+
+
 def flag_repeat_visits(
     df: DataFrame,
     interval_seconds: int = DEFAULT_INTERVAL_SECONDS,
@@ -127,10 +244,8 @@ def flag_repeat_visits(
         # contiguous (hash-clustered + sorted), so "rn == 1" marks a new
         # key even when that first row is unchecked (which must still
         # reset the anchor window for the key)
-        anchor = 0
-        has_anchor = False
+        state = (0, False, 0)
         for rb in batches:
-            n = rb.num_rows
             rn = rb.column(i_rn).to_numpy(zero_copy_only=False)
             chk = rb.column(i_chk).to_numpy(zero_copy_only=False)
             ts_us = (
@@ -139,21 +254,9 @@ def flag_repeat_visits(
                 .astype("datetime64[us]")
                 .astype(np.int64)
             )
-            out = np.zeros(n, dtype=bool)
-            a, ha = anchor, has_anchor
-            for i in range(n):
-                if rn[i] == 1:
-                    ha = False
-                if not chk[i]:
-                    continue
-                t = ts_us[i]
-                if not ha:
-                    a, ha = t, True
-                elif a < t < a + interval_us:
-                    out[i] = True
-                else:
-                    a = t
-            anchor, has_anchor = a, ha
+            out, state = scan_flags_vectorized(
+                rn, chk, ts_us, interval_us, state
+            )
             cols = list(rb.columns) + [pa.array(out, pa.bool_())]
             out_names = names + ["is_repeat_visit"]
             if do_geo:

@@ -44,6 +44,68 @@ def test_anchor_scan_reference_vectors():
     assert got == [False, True, True, True, False, True, True, False, False]
 
 
+def test_scan_vectorized_matches_scalar_property():
+    """The anchor-jump vectorized scan must equal the per-row reference
+    scan on randomized multi-key inputs, across arbitrary Arrow-batch
+    split points (state carried between batches)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from d1_log_aggregation_spark.operators.repeat_visit import (
+        scan_flags_scalar,
+        scan_flags_vectorized,
+    )
+
+    interval_us = 31 * 1_000_000
+
+    @st.composite
+    def batch_case(draw):
+        n_keys = draw(st.integers(1, 4))
+        rn_l, chk_l, ts_l = [], [], []
+        for _ in range(n_keys):
+            n = draw(st.integers(0, 25))
+            t = 0
+            for i in range(n):
+                # gap mix: ties, sub-interval, exactly-interval, big
+                t += draw(
+                    st.sampled_from(
+                        [0, 1, 5_000_000, 30_000_000, 31_000_000, 90_000_000]
+                    )
+                )
+                rn_l.append(1 if i == 0 else i + 1)
+                chk_l.append(draw(st.booleans()))
+                ts_l.append(t)
+        cuts = draw(
+            st.lists(st.integers(0, max(len(rn_l), 1)), max_size=3)
+        )
+        return rn_l, chk_l, ts_l, sorted(cuts)
+
+    @given(batch_case())
+    @settings(max_examples=300, deadline=None)
+    def run(case):
+        rn_l, chk_l, ts_l, cuts = case
+        rn = np.array(rn_l, dtype=np.int64)
+        chk = np.array(chk_l, dtype=bool)
+        ts = np.array(ts_l, dtype=np.int64)
+        splits = [0, *[c for c in cuts if c <= len(rn)], len(rn)]
+        st_s = st_v = (0, False, 0)
+        for a, b in zip(splits, splits[1:]):
+            f_s, st_s = scan_flags_scalar(
+                rn[a:b], chk[a:b], ts[a:b], interval_us, st_s
+            )
+            f_v, st_v = scan_flags_vectorized(
+                rn[a:b], chk[a:b], ts[a:b], interval_us, st_v
+            )
+            assert f_s.tolist() == f_v.tolist(), (
+                rn_l, chk_l, ts_l, splits, f_s.tolist(), f_v.tolist()
+            )
+            # states must agree behaviorally (anchor only matters when set)
+            if st_s[1] or st_v[1]:
+                assert st_s == st_v
+
+    run()
+
+
 def test_flag_repeat_visits_df(spark):
     rows = [
         ("e0", "read", "1.1.1.1", "d1", 0),
