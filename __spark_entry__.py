@@ -245,6 +245,10 @@ def _q_corpus_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.corpus_deduped(load_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.training_corpus(load_corpus(spark, sf_dir), threshold=0.5)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.simhash(load_corpus(spark, sf_dir))
 
@@ -306,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard_pairs": _q_dedup_jaccard,
         "corpus_deduped": _q_corpus_deduped,
+        "training_corpus": _q_training_corpus,
         "minhash_signatures": _q_minhash_sigs,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -327,6 +332,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_exact": dp_oracle.dedup_exact_sql(),
             "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
             "corpus_deduped": dp_oracle.corpus_deduped_sql(0.5),
+            "training_corpus": dp_oracle.training_corpus_sql(0.5),
             "minhash_signatures": dp_oracle.minhash_signatures_sql(),
             "minhash_lsh_pairs": dp_oracle.minhash_lsh_pairs_sql(0.5),
             "simhash": dp_oracle.simhash_sql(),

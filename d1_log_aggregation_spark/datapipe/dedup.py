@@ -403,6 +403,20 @@ def corpus_deduped(
     drop BOTH b and c — the conservative direction for dedup.  Plan shape:
     the same bounded inverted-index joins as exact_duplicates /
     jaccard_pairs feeding one left_anti join — no new shuffle class."""
+    losers = dedup_losers(docs, text_col, threshold, max_shingle_df)
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", text_col
+    )
+
+
+def dedup_losers(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """doc_ids dropped by min-canonical survivorship (exact duplicate or
+    Jaccard ≥ threshold near-duplicate of a smaller doc_id)."""
     exact_losers = (
         exact_duplicates(docs, text_col)
         .filter(F.col("doc_id") != F.col("canonical_id"))
@@ -411,7 +425,35 @@ def corpus_deduped(
     near_losers = jaccard_pairs(
         docs, text_col, threshold=threshold, max_shingle_df=max_shingle_df
     ).select(F.col("doc_b").alias("doc_id"))
-    losers = exact_losers.unionByName(near_losers).distinct()
-    return docs.join(losers, "doc_id", "left_anti").select(
-        "doc_id", text_col
+    return exact_losers.unionByName(near_losers).distinct()
+
+
+def training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """End-to-end training-corpus materializer — the composition a real
+    100 TB data pipeline ships: quality gate (Gopher/C4-style ratios)
+    → exact + near-dup survivorship over the SURVIVING quality docs →
+    per-doc metadata (lang_id, token counts, 64-bit fingerprint).
+
+    Order matters for scale: the quality filter runs before any shuffle,
+    so the shingle explode / dedup joins only see quality-passing docs.
+    One left_anti join drops losers; no second pass over the corpus."""
+    from .textstats import with_fingerprint, with_lang_id, with_textstats
+
+    stats = with_fingerprint(
+        with_lang_id(with_textstats(docs, text_col), text_col), text_col
+    )
+    kept = stats.filter(F.col("quality_ok"))
+    losers = dedup_losers(kept, text_col, threshold, max_shingle_df)
+    return kept.join(losers, "doc_id", "left_anti").select(
+        "doc_id",
+        "lang_id",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "fingerprint64",
+        text_col,
     )

@@ -12,14 +12,16 @@ from .corpus import corpus_sql
 HASH32 = "try_cast(('0x' || substr(md5({c}), 1, 8)) AS bigint)"
 
 
-def _sh_cte() -> str:
-    """corpus → exploded distinct shingles keyed by the 63-bit shingle id
-    (dedup.shingle_key twin)."""
+def _sh_cte(src: str = "corpus") -> str:
+    """``src`` → exploded distinct shingles keyed by the 63-bit shingle id
+    (dedup.shingle_key twin).  With the default src the planted-dup
+    ``corpus`` CTE is included; pass another relation name to shingle a
+    CTE defined by the caller."""
     key = D.SHINGLE_KEY_SQL.format(c="sh_str")
+    corpus_def = f"corpus AS ({corpus_sql()}),\n" if src == "corpus" else ""
     return f"""
-corpus AS ({corpus_sql()}),
-sh0 AS (
-  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str FROM corpus
+{corpus_def}sh0 AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str FROM {src}
 ),
 sh AS (SELECT doc_id, {key} AS sh FROM sh0),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
@@ -93,6 +95,57 @@ losers AS (
 )
 SELECT c.doc_id, c.text FROM corpus c
 WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+def training_corpus_sql(
+    threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
+) -> str:
+    """Twin of dedup.training_corpus: quality gate → dedup survivorship
+    over the quality-kept docs → metadata columns."""
+    ts = T.textstats_sql()
+    fp = T.fingerprint_sql()
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH corpus AS ({corpus_sql()}),
+st AS (
+  SELECT doc_id, text,
+    {ts['n_ws_tokens']} AS n_ws_tokens,
+    {ts['n_bpe_tokens']} AS n_bpe_tokens,
+    {ts['n_alpha']} AS n_alpha,
+    {ts['n_punct']} AS n_punct,
+    {ts['n_chars']} AS n_chars,
+    {T.lang_id_sql()} AS lang_id,
+    {fp['fingerprint64']} AS fingerprint64
+  FROM corpus
+),
+qcorpus AS (
+  SELECT * FROM st
+  WHERE n_ws_tokens >= 10
+    AND (CASE WHEN n_chars > 0
+              THEN n_alpha * 1.0 / n_chars ELSE 0.0 END) > 0.5
+    AND (CASE WHEN n_chars > 0
+              THEN n_punct * 1.0 / n_chars ELSE 0.0 END) < 0.2
+    AND (CASE WHEN n_ws_tokens > 0
+              THEN (n_chars - n_ws_tokens + 1) * 1.0 / n_ws_tokens
+              ELSE 0.0 END) BETWEEN 2.0 AND 12.0
+),
+{_sh_cte('qcorpus')}, {_jaccard_cte(max_df)},
+fpx AS (SELECT doc_id, md5({norm}) AS fprint FROM qcorpus),
+eg AS (
+  SELECT fprint, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fpx GROUP BY fprint
+),
+losers AS (
+  SELECT fpx.doc_id FROM fpx JOIN eg ON fpx.fprint = eg.fprint
+  WHERE eg.group_size > 1 AND fpx.doc_id <> eg.canonical_id
+  UNION
+  SELECT doc_b AS doc_id FROM jac WHERE jaccard >= {threshold}
+)
+SELECT q.doc_id, q.lang_id, q.n_ws_tokens, q.n_bpe_tokens,
+       q.fingerprint64, q.text
+FROM qcorpus q
+WHERE q.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 

@@ -109,6 +109,43 @@ def test_ivf_recall_vs_brute_force(spark):
             assert bscore[key] == r["cosine"]
 
 
+def test_training_corpus_materializer(spark):
+    """Composed quality→dedup→metadata materializer: survivors passed the
+    quality gate, planted exact copies of surviving originals are gone,
+    and the originals themselves survive."""
+    from d1_log_aggregation_spark.datapipe.textstats import with_textstats
+
+    corpus = load_corpus(spark, SF)
+    tc = dedup.training_corpus(corpus, threshold=0.5)
+    rows = tc.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert rows and set(rows[0].asDict()) == {
+        "doc_id", "lang_id", "n_ws_tokens", "n_bpe_tokens",
+        "fingerprint64", "text",
+    }
+    qids = {
+        r["doc_id"]
+        for r in with_textstats(corpus).filter("quality_ok").collect()
+    }
+    assert ids <= qids
+    n = corpus.agg({"doc_id": "max"}).collect()[0][0] // 3 + 1  # base docs
+    # every planted exact copy (doc_id+n of a %10 original) whose original
+    # passed quality must be dropped, with the original surviving
+    planted = {i + n for i in range(0, n, 10) if i in qids}
+    assert planted and not (planted & ids)
+    # composition glue: survivors == quality-kept minus survivorship
+    # losers over the quality-kept subset (an original can itself be an
+    # exact loser when base texts collide in the random corpus; the
+    # independent cross-engine equivalence lives in the DuckDB gate)
+    kept = corpus.join(
+        spark.createDataFrame([(i,) for i in sorted(qids)], "doc_id long"),
+        "doc_id",
+        "left_semi",
+    )
+    loser_ids = {r["doc_id"] for r in dedup.dedup_losers(kept).collect()}
+    assert ids == qids - loser_ids
+
+
 def test_sketch_udf_matches_expression(spark):
     """The Arrow-batched matmul sketch must be bit-identical to the
     pure-expression reference sketch (and hence to the DuckDB twin)."""
