@@ -441,7 +441,12 @@ def training_corpus(
 
     Order matters for scale: the quality filter runs before any shuffle,
     so the shingle explode / dedup joins only see quality-passing docs.
-    One left_anti join drops losers; no second pass over the corpus."""
+    One left_anti join drops losers.  The ``kept`` branch feeds both the
+    loser computation and the anti-join, so Catalyst recomputes the
+    (cheap, scan-local) regex stats per branch; at production scale
+    persist/checkpoint ``kept`` (or write it as the pipeline's first
+    materialization) — the shuffles, not the rescans, dominate either
+    way."""
     from .textstats import with_fingerprint, with_lang_id, with_textstats
 
     stats = with_fingerprint(

@@ -1,0 +1,82 @@
+"""Physical-plan shape guards.
+
+Correctness gates prove the answers; these tests pin the PLAN properties
+that matter at 100 TB and would silently regress otherwise:
+
+- the batch pipeline stays at its 2 hash-shuffle design (dedup window on
+  conv_id + the (ip, pid) window whose sort the Arrow scan reuses) with
+  dimension joins broadcast, never sort-merge;
+- no pair-producing datapipe operator ever plans a cartesian product —
+  LSH/banding exists precisely to avoid it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from d1_log_aggregation_spark import dims
+from d1_log_aggregation_spark.pipeline import PipelineConfig, run_from_dir
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    jqe = df._jdf.queryExecution()
+    return jqe.toString() + "\n" + jqe.executedPlan().toString()
+
+
+def n_hash_exchanges(plan: str) -> int:
+    # count distinct hash-partitioning exchanges in the final plan text
+    # (BroadcastExchange and REQUIRED single-partition exchanges excluded)
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_pipeline_plan_two_shuffles_broadcast_dims(spark):
+    routed = run_from_dir(spark, SF, PipelineConfig())
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, "dim join fell back to sort-merge"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # FACT-side shuffles: exactly the 2 design exchanges — the dedup
+    # window on (conv_id, turn_idx) and the (ip, pid) window whose sort
+    # the Arrow scan reuses.  Every other hash exchange must be a
+    # dimension-build shuffle (tiny, keyed on the dim's user_id and
+    # feeding a BroadcastExchange) — never a fact-table key.
+    ex = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    fact = [
+        line for line in ex if "ip#" in line or "conv_id#" in line
+    ]
+    assert len(fact) <= 2, "\n".join(fact)
+    for line in ex:
+        if line not in fact:
+            assert "user_id" in line, line
+
+
+def test_datapipe_pair_plans_never_cartesian(spark):
+    from d1_log_aggregation_spark.datapipe import dedup, vectors
+    from d1_log_aggregation_spark.datapipe.corpus import load_corpus
+
+    corpus = load_corpus(spark, SF)
+    vcorp = vectors.load_vector_corpus(spark, SF)
+    for df in (
+        dedup.minhash_lsh_pairs(corpus),
+        dedup.simhash_pairs(corpus),
+        dedup.jaccard_pairs(corpus),
+        dedup.training_corpus(corpus),
+        vectors.embedding_neardup_pairs(vcorp),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan[:2000]
+
+
+def test_broadcast_dim_sizes_are_dimension_tables(spark):
+    """The broadcast sides must stay dimension-sized (the property that
+    keeps the enrich joins map-side at any fact-table scale)."""
+    reg = dims.registry_df(spark, SF)
+    sm = dims.sysmeta_df(spark, SF)
+    assert reg.count() < 100_000
+    assert sm.count() < 1_000_000
