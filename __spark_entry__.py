@@ -19,6 +19,7 @@ from d1_log_aggregation_spark.datapipe import ann as dp_ann
 from d1_log_aggregation_spark.datapipe import dedup as dp_dedup
 from d1_log_aggregation_spark.datapipe import multimodal as dp_mm
 from d1_log_aggregation_spark.datapipe import oracle as dp_oracle
+from d1_log_aggregation_spark.datapipe import sampling as dp_sampling
 from d1_log_aggregation_spark.datapipe import textstats as dp_text
 from d1_log_aggregation_spark.datapipe.corpus import load_corpus
 from d1_log_aggregation_spark.operators.aggregate import (
@@ -286,6 +287,29 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_mm.multimodal_features(_docs(spark, sf_dir))
 
 
+STRATIFIED_RATES_PPM = {"en": 800_000, "de": 500_000, "zh": 250_000}
+
+
+def _q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_sampling.sample_bernoulli(_docs(spark, sf_dir), rate_ppm=200_000)
+
+
+def _q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_sampling.sample_stratified(
+        _docs(spark, sf_dir), STRATIFIED_RATES_PPM
+    )
+
+
+def _q_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_sampling.shard_stats(_docs(spark, sf_dir), n_shards=16)
+
+
+def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_sampling.pack_manifest(
+        _docs(spark, sf_dir), budget=512, n_shards=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -320,6 +344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_bruteforce": _q_embedding_neardup_brute,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "multimodal_features": _q_multimodal,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_sample_stratified": _q_corpus_sample_stratified,
+        "shard_stats": _q_shard_stats,
+        "pack_manifest": _q_pack_manifest,
     }
 
 
@@ -344,6 +372,18 @@ def oracle_sql() -> dict[str, str]:
             "embedding_neardup_pairs":
                 dp_oracle.embedding_neardup_pairs_sql(0.9),
             "multimodal_features": dp_oracle.multimodal_features_sql(),
+            "corpus_sample": dp_sampling.sample_bernoulli_sql(
+                "documents", rate_ppm=200_000
+            ),
+            "corpus_sample_stratified": dp_sampling.sample_stratified_sql(
+                "documents", STRATIFIED_RATES_PPM
+            ),
+            "shard_stats": dp_sampling.shard_stats_sql(
+                "documents", n_shards=16
+            ),
+            "pack_manifest": dp_sampling.pack_manifest_sql(
+                "documents", budget=512, n_shards=8
+            ),
         }
     )
     return out
