@@ -125,7 +125,35 @@ DEDUP_KEY = ["conv_id", "turn_idx"]
 DEDUP_TIEBREAK = ["text", "ts", "role", "tool"]
 
 
-def read_sinks(spark: SparkSession, base_dir: str) -> DataFrame:
+def snapshots(spark: SparkSession, base_dir: str) -> DataFrame:
+    """The commit log as a DataFrame — the Iceberg ``<table>.snapshots``
+    metadata-table analog: (seq, run_id, committed_at_unix_ns, path,
+    source_snapshot_id, compacted).  Drives time-travel: pass any ``seq``
+    to ``read_sinks(as_of_seq=...)``."""
+    rows = [
+        (
+            seq,
+            c["run_id"],
+            c["committed_at_unix_ns"],
+            c["path"],
+            c.get("source_snapshot_id", ""),
+            bool(c.get("compacted", False)),
+        )
+        for seq, c in enumerate(read_commits(base_dir))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "seq long, run_id string, committed_at_unix_ns long, path string,"
+        " source_snapshot_id string, compacted boolean",
+    )
+
+
+def read_sinks(
+    spark: SparkSession,
+    base_dir: str,
+    as_of_seq: int | None = None,
+    as_of_unix_ns: int | None = None,
+) -> DataFrame:
     """Union of all COMMITTED snapshots, overlap-deduped on the natural key
     with LAST-WRITE-WINS across commits (Solr unique-key semantics).
 
@@ -133,10 +161,26 @@ def read_sinks(spark: SparkSession, base_dir: str) -> DataFrame:
     commit file are read.  Each snapshot is tagged with its commit
     sequence; the dedup window keeps the row from the HIGHEST sequence,
     falling back to value columns only for ties within one commit.
+
+    Time travel (Iceberg ``VERSION AS OF`` / ``TIMESTAMP AS OF`` analog):
+    ``as_of_seq`` reads the table as of commit #seq (inclusive, from
+    ``snapshots()``); ``as_of_unix_ns`` reads as of a wall-clock instant.
+    Commits after the bound are invisible — the result is exactly what a
+    reader at that moment saw.  History survives until ``compact`` retires
+    the merged commit files (the expire_snapshots analog), after which
+    earlier versions are gone — same contract as Iceberg snapshot expiry.
     """
     commits = read_commits(base_dir)
+    if as_of_unix_ns is not None:
+        commits = [
+            c for c in commits if c["committed_at_unix_ns"] <= as_of_unix_ns
+        ]
+    if as_of_seq is not None:
+        commits = commits[: as_of_seq + 1]
     if not commits:
-        raise FileNotFoundError(f"no committed snapshots under {base_dir}")
+        raise FileNotFoundError(
+            f"no committed snapshots under {base_dir} (within as_of bound)"
+        )
     df = None
     for seq, c in enumerate(commits):
         nxt = (

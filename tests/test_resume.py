@@ -131,3 +131,46 @@ def test_double_run_is_noop(spark, tmp_path):
     writer.compact(spark, out, "compacted")
     rd = _sorted_rows(writer.read_sinks(spark, out).select("event_id", "text", "sink"))
     assert ra == rd
+
+
+def test_time_travel_reads_historical_versions(spark, tmp_path):
+    """Iceberg VERSION AS OF / TIMESTAMP AS OF analog: as_of_seq=N reads
+    exactly what a reader saw after commit N — later commits (including
+    last-write-wins refreshes) are invisible."""
+    out = str(tmp_path / "sinks")
+    t = load_transcripts(spark, SF)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+    routed = run_pipeline(t, reg, sm, CFG)
+
+    early = routed.filter(F.col("ts") < "2024-01-15 00:00:00")
+    writer.write_snapshot(early, out, "v0")
+    writer.write_snapshot(routed, out, "v1")
+    refreshed = routed.withColumn("rights_holder", F.lit("org-refreshed"))
+    writer.write_snapshot(refreshed, out, "v2")
+
+    snaps = writer.snapshots(spark, out).orderBy("seq").collect()
+    assert [s["run_id"] for s in snaps] == ["v0", "v1", "v2"]
+
+    # as of v0: only the early subset exists
+    v0 = writer.read_sinks(spark, out, as_of_seq=0)
+    assert v0.count() == early.count()
+    # as of v1: full row set, original values (v2's refresh invisible)
+    v1 = writer.read_sinks(spark, out, as_of_seq=1)
+    assert _sorted_rows(v1.select("event_id", "text", "sink")) == _sorted_rows(
+        routed.select("event_id", "text", "sink")
+    )
+    assert "org-refreshed" not in {
+        r["rights_holder"] for r in v1.select("rights_holder").collect()
+    }
+    # head: the refresh wins
+    head = writer.read_sinks(spark, out)
+    assert {
+        r["rights_holder"] for r in head.select("rights_holder").collect()
+    } == {"org-refreshed"}
+
+    # timestamp travel: the instant just before v2's commit sees v1
+    ts_v2 = snaps[2]["committed_at_unix_ns"]
+    at_v1 = writer.read_sinks(spark, out, as_of_unix_ns=ts_v2 - 1)
+    assert "org-refreshed" not in {
+        r["rights_holder"] for r in at_v1.select("rights_holder").collect()
+    }
