@@ -196,6 +196,98 @@ def run_sf1_scale(master: str, shuffle_partitions: int) -> dict:
     }
 
 
+def run_skew(master: str, shuffle_partitions: int) -> dict:
+    """Skew evidence (north_rule: "skew from hot conversations handled"):
+    same replicated input, but 30% of ALL rows rewritten to ONE hot
+    (ip, pid) — the repeat-visit shuffle key — and one hot conversation.
+    Reports uniform vs skewed pipeline time.  The pipeline survives
+    because (a) dedup keys on high-cardinality (conv_id, turn_idx),
+    (b) enrichment is broadcast (key-agnostic), (c) the hot (ip, pid)
+    window partition runs through the VECTORIZED anchor scan (numpy, not
+    per-row Python), and (d) AQE rebalances the post-window stages.  The
+    residual slowdown is the single-threaded sort of the hot window
+    partition — inherent to any order-sensitive per-key scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from d1_log_aggregation_spark import dims
+    from d1_log_aggregation_spark.oracle import SF_REPEAT_INTERVAL_SECONDS
+    from d1_log_aggregation_spark.pipeline import PipelineConfig, run_pipeline
+    from d1_log_aggregation_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-skew",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
+    n_turns = _setup_transcripts(spark, SCALING_REPLICATE)
+    skew_path = "/tmp/bench_transcripts_skew.parquet"
+    base = spark.read.parquet(TRANSCRIPTS_PATH)
+    hot = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(100)) < 30
+    skewed = base.withColumns(
+        {
+            "text": F.when(
+                hot,
+                F.regexp_replace(
+                    F.regexp_replace(
+                        "text", r" pid=\S* ip=\S+ ua=",
+                        " pid=doc-7 ip=10.99.99.99 ua="
+                    ),
+                    r"subj=\"user-\d+\"", 'subj="user-hot"'
+                ),
+            ).otherwise(F.col("text")),
+            "conv_id": F.when(hot, F.lit("conv-hot")).otherwise(
+                F.col("conv_id")
+            ),
+            # keep (conv_id, turn_idx) unique so dedup doesn't collapse
+            # the hot rows — skew the KEYS, not the row count
+            "turn_idx": F.when(
+                hot,
+                F.row_number().over(
+                    Window.partitionBy(hot.cast("int")).orderBy(
+                        "conv_id", "turn_idx"
+                    )
+                ),
+            ).otherwise(F.col("turn_idx")),
+        }
+    )
+    skewed.repartition(128).write.mode("overwrite").parquet(skew_path)
+    cfg = PipelineConfig(
+        repeat_visit_interval_seconds=SF_REPEAT_INTERVAL_SECONDS,
+        with_geohash=True,
+    )
+    registry = dims.registry_df(spark, SF_DIR)
+    sysmeta = dims.sysmeta_df(spark, SF_DIR)
+
+    out = {}
+    for name, path in (("uniform", TRANSCRIPTS_PATH), ("skewed", skew_path)):
+        job = lambda: _mat(  # noqa: E731
+            run_pipeline(spark.read.parquet(path), registry, sysmeta, cfg)
+        )
+        for _ in range(2):
+            job()
+        best = None
+        for _ in range(3):
+            t = time.monotonic()
+            job()
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        out[f"pipeline_{name}_sec"] = round(best, 3)
+    hot_rows = spark.read.parquet(skew_path).filter(
+        F.col("conv_id") == "conv-hot"
+    ).count()
+    spark.stop()
+    return {
+        "n_turns": n_turns,
+        "hot_key_rows": hot_rows,
+        "hot_fraction": round(hot_rows / n_turns, 3),
+        **out,
+        "skew_slowdown": round(
+            out["pipeline_skewed_sec"] / out["pipeline_uniform_sec"], 3
+        ),
+    }
+
+
 def calibration_kernel(master: str, shuffle_partitions: int) -> float:
     """Pure-JVM codegen kernel (md5 + regex over 20M synthetic strings):
     measures THIS BOX's achievable thread-scaling ceiling.  A single VM
@@ -235,6 +327,21 @@ def calibration_kernel(master: str, shuffle_partitions: int) -> float:
 
 
 def main() -> None:
+    if "--skew" in sys.argv:
+        r = run_skew(f"local[{CPUS}]", int(CPUS) if CPUS.isdigit() else 32)
+        print(
+            json.dumps(
+                {
+                    "metric": "hot-key skew slowdown (30% of rows on one"
+                    " (ip,pid)+conv)",
+                    "value": r["skew_slowdown"],
+                    "unit": "ratio",
+                    "sf": SF_DIR,
+                    **r,
+                }
+            )
+        )
+        return
     if "--scaling" in sys.argv:
         # N and 4N cores; default 8→32 saturates this VM (see BASELINE.md);
         # SPARK_GRAFT_SCALING_PAIR=2,8 measures with the box unsaturated at
