@@ -98,6 +98,30 @@ def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select(*cols)
 
 
+def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3/J6 oracle twin: deterministic sysmeta-change batch (every 5th
+    doc pid) merged over the routed rows via apply_sysmeta_changes."""
+    from d1_log_aggregation_spark.operators.reenrich import (
+        apply_sysmeta_changes,
+    )
+
+    routed = _routed(spark, sf_dir)
+    sm = dims.sysmeta_df(spark, sf_dir)
+    changes = sm.filter(
+        (F.regexp_extract("pid", r"doc-(\d+)", 1).cast("int") % 5) == 0
+    ).select(
+        "pid",
+        F.lit("fmt-re").alias("format_id"),
+        F.lit("DATA").alias("format_type"),
+        F.lit(42).cast("long").alias("size"),
+        F.lit("org-reenriched").alias("rights_holder"),
+    )
+    return apply_sysmeta_changes(routed, changes).select(
+        "event_id", "pid", "format_id", "format_type", "size",
+        "rights_holder", "date_updated",
+    )
+
+
 GEOHASH_CFG = PipelineConfig(
     repeat_visit_interval_seconds=oracle.SF_REPEAT_INTERVAL_SECONDS,
     with_geohash=True,
@@ -320,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_registry": _q_enrich_registry,
         "enrich_sysmeta": _q_enrich_sysmeta,
         "routed_rows": _q_routed_rows,
+        "reenriched_rows": _q_reenriched_rows,
         "geohash_rows": _q_geohash_rows,
         "sink_counts": _q_sink_counts,
         "tool_sink_counts": _q_tool_sink_counts,

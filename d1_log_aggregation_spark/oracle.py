@@ -304,6 +304,26 @@ GROUP BY conv_id ORDER BY partition_key""",
 EXCEPT
 SELECT conv_id FROM r WHERE sink = 'dlq'
 ORDER BY conv_id""",
+        # E3 re-enrichment (MERGE analog): changed sysmeta for every 5th
+        # doc pid overwrites the sysmeta-derived columns and stamps
+        # date_updated; unmatched rows keep originals
+        "reenriched_rows": base
+        + """, ch AS (
+  SELECT pid,
+         'fmt-re' AS n_format_id, 'DATA' AS n_format_type,
+         cast(42 AS bigint) AS n_size,
+         'org-reenriched' AS n_rights_holder
+  FROM sm
+  WHERE try_cast(regexp_extract(pid, 'doc-(\\d+)', 1) AS int) % 5 = 0
+)
+SELECT r.event_id, r.pid,
+  coalesce(ch.n_format_id, r.format_id) AS format_id,
+  coalesce(ch.n_format_type, r.format_type) AS format_type,
+  coalesce(ch.n_size, r.size) AS size,
+  coalesce(ch.n_rights_holder, r.rights_holder) AS rights_holder,
+  CASE WHEN ch.pid IS NOT NULL THEN timestamp '2026-01-02 00:00:00'
+       ELSE r.date_updated END AS date_updated
+FROM r LEFT JOIN ch ON r.pid = ch.pid""",
         # flagship: the reference's headline question — non-robot,
         # non-repeat read events per role (SURVEY §7.2)
         "flagship_clean_reads_per_role": base
