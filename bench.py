@@ -196,6 +196,108 @@ def run_sf1_scale(master: str, shuffle_partitions: int) -> dict:
     }
 
 
+def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -> dict:
+    """Growth-curve evidence for the dedup/vector ops: time each at 1× and
+    ×factor corpus size and report the ratio (ideal ≈ factor for a
+    linearithmic op; the LSH/banding designs should stay well under
+    factor² — the all-pairs blowup they exist to avoid).
+
+    The replicas get every TOKEN prefixed with the replica id (one regex
+    pass, untimed setup), so each replica reproduces the planted dup
+    structure internally but shares no shingles/vectors across replicas —
+    replication grows the PROBLEM, not the duplicate count per doc."""
+    from pyspark.sql import functions as F
+
+    from d1_log_aggregation_spark.datapipe import dedup, vectors
+    from d1_log_aggregation_spark.datapipe.corpus import load_corpus
+    from d1_log_aggregation_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench-datapipe-scale",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
+    base = load_corpus(spark, SF_DIR)
+    n_docs = base.count()
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    scaled = (
+        base.crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias(
+                "doc_id"
+            ),
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("r"), F.col("rep").cast("string"), F.lit("$1")),
+            ).alias("text"),
+        )
+    )
+    scaled_path = "/tmp/bench_corpus_scaled.parquet"
+    scaled.repartition(64).write.mode("overwrite").parquet(scaled_path)
+    scaled = spark.read.parquet(scaled_path)
+    n_scaled = scaled.count()
+
+    vbase = vectors.load_vector_corpus(spark, SF_DIR)
+    vreps = spark.range(factor).select(F.col("id").alias("rep"))
+    vscaled = (
+        vbase.crossJoin(F.broadcast(vreps))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias(
+                "vec_id"
+            ),
+            # rotate each replica's vectors by a per-replica scalar on one
+            # axis: cheap, deterministic, kills cross-replica cosine≈1
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == F.pmod(F.col("rep"), F.lit(64)).cast("int"),
+                    x + F.col("rep").cast("float") + F.lit(1.0),
+                ).otherwise(x).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    vpath = "/tmp/bench_vectors_scaled.parquet"
+    vscaled.repartition(64).write.mode("overwrite").parquet(vpath)
+    vscaled = spark.read.parquet(vpath)
+
+    jobs = {
+        "minhash_lsh_pairs": lambda d: dedup.minhash_lsh_pairs(d),
+        "simhash_pairs": lambda d: dedup.simhash_pairs(d),
+        "corpus_deduped": lambda d: dedup.corpus_deduped(d),
+    }
+    out = {"n_docs_1x": n_docs, "n_docs_scaled": n_scaled, "factor": factor}
+    for name, fn in jobs.items():
+        for df, tag in ((base, "1x"), (scaled, f"{factor}x")):
+            for _ in range(1 if tag != "1x" else 2):
+                _mat(fn(df))
+            t = time.monotonic()
+            _mat(fn(df))
+            out[f"{name}_{tag}_sec"] = round(time.monotonic() - t, 3)
+        out[f"{name}_growth"] = round(
+            out[f"{name}_{factor}x_sec"] / out[f"{name}_1x_sec"], 2
+        )
+    # the sign-LSH tuning rule in action: band_bits scales with log2(N)
+    # (the r2 before-number with 16-bit bands at ×16 was 143× growth —
+    # N²/2^16 random collisions; 32-bit bands keep collisions linear)
+    vjobs = (
+        (vbase, "1x", dict()),
+        (vscaled, f"{factor}x", dict(n_planes=128, band_bits=32)),
+    )
+    for df, tag, kw in vjobs:
+        for _ in range(1 if tag != "1x" else 2):
+            _mat(vectors.embedding_neardup_pairs(df, **kw))
+        t = time.monotonic()
+        _mat(vectors.embedding_neardup_pairs(df, **kw))
+        out[f"embedding_neardup_{tag}_sec"] = round(time.monotonic() - t, 3)
+    out["embedding_neardup_growth"] = round(
+        out[f"embedding_neardup_{factor}x_sec"]
+        / out["embedding_neardup_1x_sec"], 2
+    )
+    spark.stop()
+    return out
+
+
 def run_skew(master: str, shuffle_partitions: int) -> dict:
     """Skew evidence (north_rule: "skew from hot conversations handled"):
     same replicated input, but 30% of ALL rows rewritten to ONE hot
@@ -327,6 +429,23 @@ def calibration_kernel(master: str, shuffle_partitions: int) -> float:
 
 
 def main() -> None:
+    if "--datapipe-scale" in sys.argv:
+        r = run_datapipe_scale(
+            f"local[{CPUS}]", int(CPUS) if CPUS.isdigit() else 32
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "datapipe op growth at ×16 corpus"
+                    " (ideal ≈ 16 for linearithmic)",
+                    "value": r["corpus_deduped_growth"],
+                    "unit": "ratio",
+                    "sf": SF_DIR,
+                    **r,
+                }
+            )
+        )
+        return
     if "--skew" in sys.argv:
         r = run_skew(f"local[{CPUS}]", int(CPUS) if CPUS.isdigit() else 32)
         print(

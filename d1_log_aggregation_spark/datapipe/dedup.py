@@ -248,9 +248,12 @@ def minhash_lsh_pairs(
     reused here (that would defeat the banding)."""
     sigs = minhash_signatures(docs, text_col)
     rows_per_band = N_HASHES // N_BANDS
-    bands = []
-    for band in range(N_BANDS):
-        key = F.concat_ws(
+    # ONE pass: explode an array of per-band keys.  A union of per-band
+    # selects would make Catalyst recompute the whole signature
+    # aggregation once PER BAND (no CSE across union branches — the r2
+    # plan audit measured 8× scans); explode computes signatures once.
+    keys = [
+        F.concat_ws(
             "_",
             F.lit(str(band)),
             *[
@@ -258,10 +261,11 @@ def minhash_lsh_pairs(
                 for r in range(rows_per_band)
             ],
         )
-        bands.append(sigs.select("doc_id", key.alias("band_key")))
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+        for band in range(N_BANDS)
+    ]
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*keys)).alias("band_key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -345,24 +349,21 @@ def simhash_pairs(
     byte bands).  The shift is arithmetic in both engines but the & mask
     extracts the same 16 physical bits regardless of sign fill."""
     sh = simhash(docs, text_col)
-    bands = []
-    for i in range(SIMHASH_BANDS):
-        bands.append(
-            sh.select(
-                "doc_id",
-                "simhash",
-                F.concat_ws(
-                    "_",
-                    F.lit(str(i)),
-                    F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
-                    .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
-                    .cast("string"),
-                ).alias("band_key"),
-            )
+    # one explode pass over the signatures, not a per-band union (see
+    # minhash_lsh_pairs: union branches recompute the bit-vote agg 4×)
+    keys = [
+        F.concat_ws(
+            "_",
+            F.lit(str(i)),
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i)
+            .bitwiseAND(F.lit((1 << SIMHASH_BAND_BITS) - 1))
+            .cast("string"),
         )
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+        for i in range(SIMHASH_BANDS)
+    ]
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -475,19 +475,26 @@ WHERE {_vcos('a.qnorm2', 'b.qnorm2', 'a.qvec', 'b.qvec')} >= {threshold}
 """
 
 
-def embedding_neardup_pairs_sql(threshold: float = 0.9) -> str:
-    from .vectors import BAND_BITS, N_BANDS, sketch_ctes_sql
+def embedding_neardup_pairs_sql(
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    band_bits: int | None = None,
+) -> str:
+    from . import vectors as V
 
-    mask = (1 << BAND_BITS) - 1
+    n_planes = n_planes or V.N_PLANES
+    band_bits = band_bits or V.BAND_BITS
+    mask = (1 << band_bits) - 1
     bands = " UNION ALL ".join(
         f"SELECT vec_id, '{i}' || '_' ||"
-        f" cast((sketch >> {BAND_BITS * i}) & {mask} AS string) AS band_key"
+        f" cast((sketch[{(i * band_bits) // 64 + 1}]"
+        f" >> {(i * band_bits) % 64}) & {mask} AS string) AS band_key"
         f" FROM sk"
-        for i in range(N_BANDS)
+        for i in range(n_planes // band_bits)
     )
     return f"""
 WITH {_vec_base_cte()},
-{sketch_ctes_sql()},
+{V.sketch_ctes_sql(n_planes=n_planes)},
 banded AS ({bands}),
 cands AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

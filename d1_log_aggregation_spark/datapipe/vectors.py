@@ -89,12 +89,48 @@ def plane_signs(plane: int, dim: int = DIM) -> list[int]:
     return out
 
 
-def planes_matrix(dim: int = DIM) -> "np.ndarray":
-    """(N_PLANES × dim) int64 Rademacher matrix — the literal twin of the
+def planes_matrix(dim: int = DIM, n_planes: int = N_PLANES) -> "np.ndarray":
+    """(n_planes × dim) int64 Rademacher matrix — the literal twin of the
     per-plane sign lists inlined into both engines' SQL."""
     return np.array(
-        [plane_signs(i, dim) for i in range(N_PLANES)], dtype=np.int64
+        [plane_signs(i, dim) for i in range(n_planes)], dtype=np.int64
     )
+
+
+def sketch_words_udf_col(
+    qvec: Column, n_planes: int = N_PLANES, dim: int = DIM
+) -> Column:
+    """Multi-word sketch: array<long> of n_planes/64 packed words (word w
+    holds planes 64w..64w+63).  Same Arrow matmul as ``sketch_udf_col``,
+    generalized so band bits can SCALE WITH CORPUS SIZE: with fixed-width
+    bands the random-collision count grows as n_bands·N²/2^band_bits —
+    quadratic at any fixed width (the r2 ×16 growth bench measured 143×).
+    The tuning rule: band_bits ≳ log2(N) + 8 keeps expected collisions
+    ≤ n_bands·N/256, i.e. linear; recall is then bought back with more
+    bands (cost linear in n_bands).  For planted near-identical dups
+    (cosine ≥ 0.999, sign-flip prob ~1.4%/plane) a 32-bit band matches
+    with p ≈ 0.63, so 4 bands give ~98% recall with collisions N²/2^32."""
+    assert n_planes % 64 == 0, "sketch words are 64 planes each"
+    n_words = n_planes // 64
+    planes = planes_matrix(dim, n_planes)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def _sketch(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        m = np.vstack(qv.to_numpy())  # (batch, dim) int64 — exact
+        bits = (m @ planes.T) >= 0  # (batch, n_planes)
+        words = [
+            (bits[:, 64 * w: 64 * (w + 1)].astype(np.uint64) * weights)
+            .sum(axis=1, dtype=np.uint64)
+            .view(np.int64)
+            for w in range(n_words)
+        ]
+        stacked = np.stack(words, axis=1)  # (batch, n_words)
+        return pd.Series(list(stacked))
+
+    return _sketch(qvec)
 
 
 def sketch_udf_col(qvec: Column, dim: int = DIM) -> Column:
@@ -147,38 +183,46 @@ def _sketch_col(qvec: Column, dim: int = DIM) -> Column:
     return sketch.cast("long")
 
 
-def sketch_ctes_sql(dim: int = DIM) -> str:
-    """DuckDB twin of _sketch_col as CTEs over ``vbase2``: a 64-row planes
-    VALUES table (signs list + bit weight) cross-joined to the vectors —
-    a flat plan instead of a 4096-term expression (DuckDB's binder caps
-    expression depth at 128).  Produces CTE ``sk(vec_id, sketch)``."""
+def sketch_ctes_sql(dim: int = DIM, n_planes: int = N_PLANES) -> str:
+    """DuckDB twin of the sketch as CTEs over ``vbase2``: an n_planes-row
+    planes VALUES table (signs list + word index + bit weight within the
+    word) cross-joined to the vectors — a flat plan instead of a
+    4096-term expression (DuckDB's binder caps expression depth at 128).
+    Produces CTE ``sk(vec_id, sketch)`` where sketch is a LIST of
+    n_planes/64 packed BIGINT words (list index = word + 1), matching
+    ``sketch_words_udf_col`` bit-for-bit."""
     rows = []
-    for i in range(N_PLANES):
+    for i in range(n_planes):
         signs = plane_signs(i, dim)
         lst = "[" + ", ".join(str(s) for s in signs) + "]"
-        if i == 63:
+        bit = i % 64
+        if bit == 63:
             w = "(-9223372036854775807::BIGINT - 1::BIGINT)"
         else:
-            w = f"{1 << i}::BIGINT"
-        rows.append(f"({lst}, {w})")
+            w = f"{1 << bit}::BIGINT"
+        rows.append(f"({lst}, {i // 64}, {w})")
     values = ",\n    ".join(rows)
     return f"""
 planes AS (
   SELECT * FROM (VALUES
     {values}
-  ) p(signs, weight)
+  ) p(signs, word, weight)
 ),
 dots AS (
-  SELECT v.vec_id, p.weight,
+  SELECT v.vec_id, p.word, p.weight,
          list_sum(list_transform(range(1, {dim + 1}),
                                  j -> v.qvec[j] * p.signs[j])) AS d
   FROM vbase2 v CROSS JOIN planes p
 ),
-sk AS (
-  SELECT vec_id,
+skw AS (
+  SELECT vec_id, word,
          cast(sum(CASE WHEN d >= 0 THEN weight ELSE 0 END) AS bigint)
-           AS sketch
-  FROM dots GROUP BY vec_id
+           AS sketch_word
+  FROM dots GROUP BY vec_id, word
+),
+sk AS (
+  SELECT vec_id, list(sketch_word ORDER BY word) AS sketch
+  FROM skw GROUP BY vec_id
 )"""
 
 
@@ -216,31 +260,45 @@ def embedding_neardup_bruteforce(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = N_PLANES,
+    band_bits: int = BAND_BITS,
 ) -> DataFrame:
-    """(vec_a, vec_b, cosine): sign-sketch LSH candidates (any shared 4-bit
+    """(vec_a, vec_b, cosine): sign-sketch LSH candidates (any shared
     band) verified with exact quantized cosine — candidate-only, never an
-    all-pairs vector join."""
+    all-pairs vector join.
+
+    Defaults (64 planes, 16-bit bands) are the oracle-gate config; at
+    corpus scale pass wider bands so collisions stay linear — see the
+    tuning rule on ``sketch_words_udf_col`` (e.g. 88k vecs → n_planes=128,
+    band_bits=32 cut the ×16-corpus growth from 143× to near-linear)."""
+    assert 64 % band_bits == 0 and n_planes % band_bits == 0
+    assert band_bits <= 32  # the band mask must fit a positive int64
+    n_bands = n_planes // band_bits
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
-    sk = base.withColumn("sketch", sketch_udf_col(F.col("qvec")))
-    mask = (1 << BAND_BITS) - 1
-    bands = []
-    for i in range(N_BANDS):
-        bands.append(
-            sk.select(
-                "vec_id",
-                F.concat_ws(
-                    "_",
-                    F.lit(str(i)),
-                    F.shiftright(F.col("sketch"), BAND_BITS * i)
-                    .bitwiseAND(F.lit(mask))
-                    .cast("string"),
-                ).alias("band_key"),
+    sk = base.withColumn(
+        "sketch", sketch_words_udf_col(F.col("qvec"), n_planes)
+    )
+    mask = (1 << band_bits) - 1
+    # one explode pass over the sketches — a per-band union would rerun
+    # the Arrow sketch UDF once per band (no CSE across union branches)
+    keys = []
+    for i in range(n_bands):
+        word = (i * band_bits) // 64
+        shift = (i * band_bits) % 64
+        keys.append(
+            F.concat_ws(
+                "_",
+                F.lit(str(i)),
+                F.shiftright(F.element_at("sketch", word + 1), shift)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
             )
         )
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+    banded = sk.select(
+        "vec_id", F.explode(F.array(*keys)).alias("band_key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -206,3 +206,29 @@ def test_multimodal_plumbing(spark):
     # real decoder path is stubbed
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, fake=False)
+
+
+def test_wide_band_sketch_oracle_and_recall(spark):
+    """Scale config for the sign-sketch LSH (n_planes=128, band_bits=32 —
+    the band_bits ≳ log2(N)+8 tuning rule): must stay bit-identical to
+    the DuckDB twin AND keep full recall of the planted near-dups."""
+    from d1_log_aggregation_spark.datapipe import oracle as dpo
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    from .oracle_harness import compare, duck_connection
+
+    sf = "/root/testdata/sf0.001"
+    vc = vectors.load_vector_corpus(spark, sf)
+    wide = vectors.embedding_neardup_pairs(vc, 0.9, n_planes=128, band_bits=32)
+    con = duck_connection(sf)
+    duck = con.execute(
+        dpo.embedding_neardup_pairs_sql(0.9, n_planes=128, band_bits=32)
+    ).df()
+    assert not compare("wide_sketch", wide, duck)
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in vectors.embedding_neardup_bruteforce(vc, 0.9).collect()
+    }
+    lsh = {(r.vec_a, r.vec_b) for r in wide.collect()}
+    assert brute, "planted near-dups missing from corpus"
+    assert len(brute & lsh) / len(brute) >= 0.95
