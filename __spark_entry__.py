@@ -98,6 +98,48 @@ def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select(*cols)
 
 
+def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: a REAL Structured Streaming execution (file source →
+    watermark dedup → classify/enrich/route → tumbling day windows →
+    append-mode parquet sink, availableNow trigger), oracle-checked
+    against the batch relation + the watermark emission rule (windows
+    whose end ≤ final watermark = max ts − 1 h)."""
+    import tempfile
+
+    from d1_log_aggregation_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        streaming_routed,
+        streaming_sink_counts,
+    )
+
+    inp = tempfile.mkdtemp(prefix="gate_stream_in_")
+    out = tempfile.mkdtemp(prefix="gate_stream_out_")
+    ck = tempfile.mkdtemp(prefix="gate_stream_ck_")
+    # one file → one micro-batch → no cross-batch disorder (TESTDATA files
+    # are not globally time-sorted, and the gate must be deterministic)
+    load_transcripts(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    stream = read_transcript_stream(spark, inp)
+    routed = streaming_routed(
+        stream,
+        dims.registry_df(spark, sf_dir),
+        dims.sysmeta_df(spark, sf_dir),
+        watermark_delay="1 hour",
+    )
+    q = (
+        streaming_sink_counts(routed, "1 day")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3/J6 oracle twin: deterministic sysmeta-change batch (every 5th
     doc pid) merged over the routed rows via apply_sysmeta_changes."""
@@ -345,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_sysmeta": _q_enrich_sysmeta,
         "routed_rows": _q_routed_rows,
         "reenriched_rows": _q_reenriched_rows,
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
         "geohash_rows": _q_geohash_rows,
         "sink_counts": _q_sink_counts,
         "tool_sink_counts": _q_tool_sink_counts,

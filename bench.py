@@ -246,14 +246,19 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
             (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias(
                 "vec_id"
             ),
-            # rotate each replica's vectors by a per-replica scalar on one
-            # axis: cheap, deterministic, kills cross-replica cosine≈1
+            # per-replica Rademacher sign flip: norm-preserving, keeps
+            # every INTRA-replica cosine exactly (s_i² = 1) so each
+            # replica reproduces the planted near-dup structure, while
+            # cross-replica cosines decorrelate (random sign agreement).
+            # (The first version added a large constant to one axis —
+            # that made all vectors within a replica near-parallel and
+            # produced quadratically many TRUE near-dups, measuring
+            # output explosion instead of engine scaling.)
             F.transform(
                 "embedding",
                 lambda x, i: F.when(
-                    i == F.pmod(F.col("rep"), F.lit(64)).cast("int"),
-                    x + F.col("rep").cast("float") + F.lit(1.0),
-                ).otherwise(x).cast("float"),
+                    F.pmod(F.xxhash64(F.col("rep"), i), F.lit(2)) == 0, x
+                ).otherwise(-x).cast("float"),
             ).alias("embedding"),
         )
     )

@@ -304,6 +304,18 @@ GROUP BY conv_id ORDER BY partition_key""",
 EXCEPT
 SELECT conv_id FROM r WHERE sink = 'dlq'
 ORDER BY conv_id""",
+        # §2.8 streaming twin: append-mode tumbling day windows emit every
+        # window whose end has passed the final watermark (max ts − 1 h,
+        # ms precision — Spark tracks event-time watermarks in millis)
+        "streaming_windowed_counts": base
+        + """SELECT date_trunc('day', r2.ts) AS window_start, r2.sink,
+  count(*) AS n_rows, max(r2.ts) AS max_ts,
+  cast(sum(CASE WHEN r2.in_full_robot_list THEN 1 ELSE 0 END) AS bigint)
+    AS n_robot_full
+FROM r r2, (SELECT max(ts) AS mx FROM r) wm
+GROUP BY 1, 2, wm.mx
+HAVING epoch_ms(date_trunc('day', min(r2.ts)) + INTERVAL 1 DAY)
+       <= epoch_ms(wm.mx) - 3600000""",
         # E3 re-enrichment (MERGE analog): changed sysmeta for every 5th
         # doc pid overwrites the sysmeta-derived columns and stamps
         # date_updated; unmatched rows keep originals
