@@ -376,6 +376,10 @@ def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.stop_shingle_stats(load_corpus(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -416,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stratified": _q_corpus_sample_stratified,
         "shard_stats": _q_shard_stats,
         "pack_manifest": _q_pack_manifest,
+        "dedup_cap_stats": _q_dedup_cap_stats,
     }
 
 
@@ -452,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
             "pack_manifest": dp_sampling.pack_manifest_sql(
                 "documents", budget=512, n_shards=8
             ),
+            "dedup_cap_stats": dp_oracle.stop_shingle_stats_sql(),
         }
     )
     return out

@@ -463,3 +463,32 @@ def training_corpus(
         "fingerprint64",
         text_col,
     )
+
+
+# --------------------------------------------------------------------------
+# 6. Stop-shingle cap accounting (no silent truncation).
+# --------------------------------------------------------------------------
+
+def stop_shingle_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """One row: how much the MAX_SHINGLE_DF stop-shingle cap drops —
+    (n_shingles, n_capped, n_postings, n_postings_dropped).  The cap
+    bounds the inverted-index join (a shingle with document frequency df
+    contributes df² candidate pairs), at the cost of silently ignoring
+    pairs that ONLY share capped shingles; this operator makes that cost
+    a measured number instead of a footnote.  One shuffle on the shingle
+    key + a scalar aggregate."""
+    sh, _ = _shingle_index(docs, text_col)
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    capped = F.col("df") > max_shingle_df
+    return dfc.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(capped.cast("long")).alias("n_capped"),
+        F.sum("df").alias("n_postings"),
+        F.sum(F.when(capped, F.col("df")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_postings_dropped"),
+    )

@@ -581,3 +581,18 @@ WITH b AS (
 )
 SELECT doc_id, width, height, {feats} FROM b
 """
+
+
+def stop_shingle_stats_sql(max_df: int | None = None) -> str:
+    max_df = max_df or D.MAX_SHINGLE_DF
+    return f"""
+WITH {_sh_cte()},
+dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+SELECT cast(count(*) AS bigint) AS n_shingles,
+       cast(sum(CASE WHEN df > {max_df} THEN 1 ELSE 0 END) AS bigint)
+         AS n_capped,
+       cast(sum(df) AS bigint) AS n_postings,
+       cast(sum(CASE WHEN df > {max_df} THEN df ELSE 0 END) AS bigint)
+         AS n_postings_dropped
+FROM dfc
+"""
