@@ -135,10 +135,23 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # 2. N-gram Jaccard near-dup via inverted shingle index.
 # --------------------------------------------------------------------------
 
-def _shingle_index(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame]:
+def _shingle_index(
+    docs: DataFrame, text_col: str, persist: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """(sh, sizes): exploded shingles keyed by the 63-bit shingle id +
     per-doc shingle counts.  Downstream joins/groupBys never touch the
-    shingle strings."""
+    shingle strings.
+
+    ``persist=True`` caches the exploded index (MEMORY_AND_DISK):
+    Catalyst never shares a subtree across multiple plan references, so
+    an operator that joins ``sh`` with itself (or references it for both
+    candidates and verification) would otherwise re-scan the corpus and
+    re-run the tokenize→shingle→md5 work per reference — the r2 plan
+    audit counted 250 scans in corpus_deduped.  Caching trades executor
+    storage (spillable, ~8 bytes × total shingle postings) for computing
+    the index exactly once — the same internal-persist pattern Spark
+    MLlib uses (e.g. ALS/KMeans).  The cache lives until session end;
+    terminal materializers are the intended callers."""
     sh = (
         docs.select(
             "doc_id", F.split(norm_text(F.col(text_col)), " ").alias("_toks")
@@ -149,6 +162,10 @@ def _shingle_index(docs: DataFrame, text_col: str) -> tuple[DataFrame, DataFrame
         )
         .select("doc_id", shingle_key(F.col("sh_str")).alias("sh"))
     )
+    if persist:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     return sh, sizes
 
@@ -181,14 +198,18 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_shingle_df: int = MAX_SHINGLE_DF,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, n_a, n_b, jaccard) with jaccard ≥ threshold.
 
     inverted index join: explode shingles, drop shingles shared by more
     than max_shingle_df docs (quadratic-blowup guard), count common
     shingles per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+
+    ``index`` lets a caller that already built (and persisted) the
+    shingle index share it instead of re-deriving it.
     """
-    sh, sizes = _shingle_index(docs, text_col)
+    sh, sizes = index or _shingle_index(docs, text_col, persist=True)
     df_cap = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("sh_df"))
@@ -215,11 +236,15 @@ def jaccard_pairs(
 # 3. MinHash signatures + LSH banding.
 # --------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """(doc_id, sig_0..sig_15): min over shingles of (a_k·h + b_k) mod p.
     Docs with no shingles are dropped (nothing to hash).  h is the low 32
     bits of the shingle id — identical to hashing the shingle string."""
-    sh, _ = _shingle_index(docs, text_col)
+    sh, _ = index or _shingle_index(docs, text_col)
     sh = sh.withColumn("h", F.col("sh").bitwiseAND(F.lit(4294967295)))
     aggs = [
         F.min(
@@ -246,7 +271,8 @@ def minhash_lsh_pairs(
     shingle counts — linear in the candidate set, never all-pairs.  The
     all-pairs inverted-index join of ``jaccard_pairs`` is deliberately NOT
     reused here (that would defeat the banding)."""
-    sigs = minhash_signatures(docs, text_col)
+    sh, sizes = _shingle_index(docs, text_col, persist=True)
+    sigs = minhash_signatures(docs, text_col, index=(sh, sizes))
     rows_per_band = N_HASHES // N_BANDS
     # ONE pass: explode an array of per-band keys.  A union of per-band
     # selects would make Catalyst recompute the whole signature
@@ -263,9 +289,13 @@ def minhash_lsh_pairs(
         )
         for band in range(N_BANDS)
     ]
+    from pyspark import StorageLevel
+
+    # persisted: the band self-join references this twice — caching runs
+    # the 16-min signature aggregation once instead of twice
     banded = sigs.select(
         "doc_id", F.explode(F.array(*keys)).alias("band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -282,8 +312,9 @@ def minhash_lsh_pairs(
     # candidate-only verify: intersect shingle sets per candidate pair.
     # cands ⨝ sh(doc_a) ⨝ sh(doc_b, same shingle) → count = |A∩B|; the
     # candidate side is small, so both joins are broadcast-able and the
-    # fan-out is bounded by the candidates' own shingle counts.
-    sh, sizes = _shingle_index(docs, text_col)
+    # fan-out is bounded by the candidates' own shingle counts.  The
+    # persisted index above is reused — signatures, both verify sides,
+    # and sizes all read the one cached explode.
     common = (
         cands.join(
             sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a"
@@ -361,9 +392,13 @@ def simhash_pairs(
         )
         for i in range(SIMHASH_BANDS)
     ]
+    from pyspark import StorageLevel
+
+    # persisted: the band self-join references this twice — caching runs
+    # the 64-vote SimHash aggregation once instead of twice
     banded = sh.select(
         "doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -403,7 +438,15 @@ def corpus_deduped(
     needs no iteration, and chains a<b<c where only (a,b) and (b,c) pair
     drop BOTH b and c — the conservative direction for dedup.  Plan shape:
     the same bounded inverted-index joins as exact_duplicates /
-    jaccard_pairs feeding one left_anti join — no new shuffle class."""
+    jaccard_pairs feeding one left_anti join — no new shuffle class.
+
+    The input is persisted (MEMORY_AND_DISK): the loser computation and
+    the anti-join reference ``docs`` several times, and Catalyst
+    re-executes un-cached subtrees per reference (the r2 plan audit
+    counted 250 scans without the caches)."""
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     losers = dedup_losers(docs, text_col, threshold, max_shingle_df)
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", text_col
@@ -442,18 +485,19 @@ def training_corpus(
 
     Order matters for scale: the quality filter runs before any shuffle,
     so the shingle explode / dedup joins only see quality-passing docs.
-    One left_anti join drops losers.  The ``kept`` branch feeds both the
-    loser computation and the anti-join, so Catalyst recomputes the
-    (cheap, scan-local) regex stats per branch; at production scale
-    persist/checkpoint ``kept`` (or write it as the pipeline's first
-    materialization) — the shuffles, not the rescans, dominate either
-    way."""
+    One left_anti join drops losers.  ``kept`` feeds both the loser
+    computation and the anti-join, so it is persisted (MEMORY_AND_DISK) —
+    the regex textstats would otherwise recompute per reference."""
+    from pyspark import StorageLevel
+
     from .textstats import with_fingerprint, with_lang_id, with_textstats
 
     stats = with_fingerprint(
         with_lang_id(with_textstats(docs, text_col), text_col), text_col
     )
-    kept = stats.filter(F.col("quality_ok"))
+    kept = stats.filter(F.col("quality_ok")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     losers = dedup_losers(kept, text_col, threshold, max_shingle_df)
     return kept.join(losers, "doc_id", "left_anti").select(
         "doc_id",

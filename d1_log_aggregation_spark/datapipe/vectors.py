@@ -276,7 +276,15 @@ def embedding_neardup_pairs(
     assert 64 % band_bits == 0 and n_planes % band_bits == 0
     assert band_bits <= 32  # the band mask must fit a positive int64
     n_bands = n_planes // band_bits
-    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    from pyspark import StorageLevel
+
+    # persisted: base feeds the sketch AND both verify sides; Catalyst
+    # re-executes un-cached subtrees per reference (no cross-branch CSE)
+    base = (
+        with_qvec(embeddings)
+        .select("vec_id", "qvec", "qnorm2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sk = base.withColumn(
         "sketch", sketch_words_udf_col(F.col("qvec"), n_planes)
     )
@@ -296,9 +304,11 @@ def embedding_neardup_pairs(
                 .cast("string"),
             )
         )
+    # persisted: the band self-join references this twice — caching runs
+    # the Arrow sketch UDF once instead of twice
     banded = sk.select(
         "vec_id", F.explode(F.array(*keys)).alias("band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
