@@ -59,11 +59,21 @@ def extract_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
-            mat = np.zeros((len(pdf), n_feat), dtype=np.float64)
-            for r, buf in enumerate(payloads):
-                arr = np.frombuffer(buf, dtype=np.uint8, count=n_feat)
-                mat[r] = arr / 255.0
+            # payloads are fixed-width (md5 = 16 bytes ≥ n_feat): one
+            # vectorized frombuffer over the concatenation instead of a
+            # per-row loop (a real decoder is per-row by nature; the
+            # fake's batch shape should still be the vectorized one)
+            if len(pdf):
+                joined = b"".join(pdf["payload"])
+                width = len(joined) // len(pdf)
+                mat = (
+                    np.frombuffer(joined, dtype=np.uint8)
+                    .reshape(len(pdf), width)[:, :n_feat]
+                    .astype(np.float64)
+                    / 255.0
+                )
+            else:
+                mat = np.zeros((0, n_feat), dtype=np.float64)
             out = {
                 "doc_id": pdf["doc_id"].values,
                 "width": pdf["width"].values,
