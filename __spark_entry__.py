@@ -380,6 +380,13 @@ def _q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.stop_shingle_stats(load_corpus(spark, sf_dir))
 
 
+def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 37 == 0)
+    return dp_dedup.contamination_flags(
+        load_corpus(spark, sf_dir), bench, min_common=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": _q_transcripts,
@@ -421,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_stats": _q_shard_stats,
         "pack_manifest": _q_pack_manifest,
         "dedup_cap_stats": _q_dedup_cap_stats,
+        "contamination_flags": _q_contamination_flags,
     }
 
 
@@ -458,6 +466,9 @@ def oracle_sql() -> dict[str, str]:
                 "documents", budget=512, n_shards=8
             ),
             "dedup_cap_stats": dp_oracle.stop_shingle_stats_sql(),
+            "contamination_flags": dp_oracle.contamination_flags_sql(
+                bench_mod=37, min_common=5
+            ),
         }
     )
     return out

@@ -536,3 +536,47 @@ def stop_shingle_stats(
         .cast("long")
         .alias("n_postings_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# 7. Benchmark decontamination (train/test overlap).
+# --------------------------------------------------------------------------
+
+def contamination_flags(
+    docs: DataFrame,
+    bench_docs: DataFrame,
+    text_col: str = "text",
+    min_common: int = 5,
+) -> DataFrame:
+    """(doc_id, n_contaminated_shingles, is_contaminated): flag training
+    documents sharing ≥ min_common word-shingles with ANY benchmark
+    document — the standard n-gram decontamination pass a training corpus
+    runs against eval sets before export.
+
+    Scale shape: the benchmark side is small (eval sets are thousands of
+    docs), so its DISTINCT shingle set broadcasts; the corpus side is one
+    scan + explode + broadcast semi-join + groupBy(doc_id) — no
+    corpus-sized shuffle beyond the per-doc count."""
+    sh_docs, _ = _shingle_index(docs, text_col)
+    sh_bench = (
+        _shingle_index(bench_docs, text_col)[0].select("sh").distinct()
+    )
+    common = (
+        sh_docs.join(F.broadcast(sh_bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(common, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("n_contaminated_shingles"), F.lit(0)
+            ).alias("n_contaminated_shingles"),
+            (
+                F.coalesce(F.col("n_contaminated_shingles"), F.lit(0))
+                >= min_common
+            ).alias("is_contaminated"),
+        )
+    )

@@ -596,3 +596,32 @@ SELECT cast(count(*) AS bigint) AS n_shingles,
          AS n_postings_dropped
 FROM dfc
 """
+
+
+def contamination_flags_sql(
+    bench_mod: int = 37, min_common: int = 5
+) -> str:
+    """Twin of dedup.contamination_flags with bench = documents whose
+    doc_id % bench_mod == 0 (the gate's deterministic eval-set stand-in)."""
+    key = D.SHINGLE_KEY_SQL.format(c="sh_str")
+    return f"""
+WITH corpus AS ({corpus_sql()}),
+bench AS (SELECT * FROM documents WHERE doc_id % {bench_mod} = 0),
+sh0 AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str FROM corpus
+),
+sh AS (SELECT doc_id, {key} AS sh FROM sh0),
+bsh0 AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str FROM bench
+),
+bsh AS (SELECT DISTINCT {key} AS sh FROM bsh0),
+common AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM sh s JOIN bsh b ON s.sh = b.sh
+  GROUP BY s.doc_id
+)
+SELECT c.doc_id,
+       cast(coalesce(n.n, 0) AS bigint) AS n_contaminated_shingles,
+       coalesce(n.n, 0) >= {min_common} AS is_contaminated
+FROM corpus c LEFT JOIN common n ON c.doc_id = n.doc_id
+"""
