@@ -380,6 +380,10 @@ def _q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.stop_shingle_stats(load_corpus(spark, sf_dir))
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.dedup_components(load_corpus(spark, sf_dir), threshold=0.5)
+
+
 def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 37 == 0)
     return dp_dedup.contamination_flags(
@@ -429,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_manifest": _q_pack_manifest,
         "dedup_cap_stats": _q_dedup_cap_stats,
         "contamination_flags": _q_contamination_flags,
+        "dedup_components": _q_dedup_components,
     }
 
 
@@ -469,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
             "contamination_flags": dp_oracle.contamination_flags_sql(
                 bench_mod=37, min_common=5
             ),
+            "dedup_components": dp_oracle.dedup_components_sql(0.5),
         }
     )
     return out

@@ -580,3 +580,93 @@ def contamination_flags(
             ).alias("is_contaminated"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 8. Duplicate-cluster connected components (iterative min-label).
+# --------------------------------------------------------------------------
+
+def dedup_components(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(doc_id, component_id) for every document in a duplicate CLUSTER:
+    connected components over the union of exact-dup and Jaccard ≥
+    threshold edges, component_id = min doc_id in the component.
+
+    Unlike the greedy per-pair survivorship of ``corpus_deduped`` (drops
+    every pair's larger member), components give cluster-level policy
+    control: keep exactly one representative per transitive group, count
+    cluster sizes, inspect what got merged.
+
+    Iterative min-label propagation (Pregel-lite, the standard
+    large-scale CC on Spark): every vertex adopts the min label among
+    itself and its neighbors until fixpoint — ≤ graph-diameter
+    iterations, each one join + groupBy on the (small) pair graph, with
+    labels persisted per round.  The pair graph is orders of magnitude
+    smaller than the corpus (only dup-pair members appear), so the
+    driver-side loop iterates over megabytes even at 100 TB corpus
+    scale."""
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    exact = (
+        exact_duplicates(docs, text_col)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select(
+            F.col("canonical_id").alias("a"), F.col("doc_id").alias("b")
+        )
+    )
+    near = jaccard_pairs(
+        docs, text_col, threshold=threshold, max_shingle_df=max_shingle_df
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    pairs = exact.unionByName(near).distinct().persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component_id", F.col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "b").withColumnRenamed(
+                    "component_id", "nbr_label"
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component_id", "old"), "doc_id"
+            )
+            .filter(F.col("component_id") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "component_id")

@@ -625,3 +625,40 @@ SELECT c.doc_id,
        coalesce(n.n, 0) >= {min_common} AS is_contaminated
 FROM corpus c LEFT JOIN common n ON c.doc_id = n.doc_id
 """
+
+
+def dedup_components_sql(
+    threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
+) -> str:
+    """Recursive-CTE twin of dedup.dedup_components: reachability closure
+    over the symmetric dup-pair graph; component id = min reachable
+    vertex (including self)."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH RECURSIVE {_sh_cte()}, {_jaccard_cte(max_df)},
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM corpus),
+eg AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+),
+pairs AS (
+  SELECT eg.canonical_id AS a, fp.doc_id AS b
+  FROM fp JOIN eg ON fp.fingerprint = eg.fingerprint
+  WHERE eg.group_size > 1 AND fp.doc_id <> eg.canonical_id
+  UNION
+  SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= {threshold}
+),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT v.doc_id,
+       least(v.doc_id, min(r.b)) AS component_id
+FROM (SELECT DISTINCT a AS doc_id FROM edges) v
+LEFT JOIN reach r ON r.a = v.doc_id
+GROUP BY v.doc_id
+"""
