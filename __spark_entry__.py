@@ -380,6 +380,16 @@ def _q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.stop_shingle_stats(load_corpus(spark, sf_dir))
 
 
+def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrub over the transcripts (turn text embeds IPv4s and
+    robot-UA URLs, so the replacement counts are non-trivial)."""
+    return dp_text.scrub_text(load_transcripts(spark, sf_dir))
+
+
+def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_text.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.dedup_components(load_corpus(spark, sf_dir), threshold=0.5)
 
@@ -434,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cap_stats": _q_dedup_cap_stats,
         "contamination_flags": _q_contamination_flags,
         "dedup_components": _q_dedup_components,
+        "scrub_text": _q_scrub_text,
+        "vocab_topk": _q_vocab_topk,
     }
 
 
@@ -475,6 +487,10 @@ def oracle_sql() -> dict[str, str]:
                 bench_mod=37, min_common=5
             ),
             "dedup_components": dp_oracle.dedup_components_sql(0.5),
+            "scrub_text": dp_text.scrub_text_sql(
+                src=f"({oracle.transcripts_sql()})"
+            ),
+            "vocab_topk": dp_text.vocab_topk_sql(k=100),
         }
     )
     return out

@@ -9,7 +9,7 @@ integer counts — bit-identical across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
@@ -31,6 +31,10 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def _norm(text: Column) -> Column:
     return F.lower(F.trim(text))
+
+
+def _norm_ws(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
 def _count_re(text: Column, pattern: str) -> Column:
@@ -183,3 +187,110 @@ def fingerprint_sql(text_col: str = "text") -> dict[str, str]:
         "fingerprint": fp,
         "fingerprint64": f"try_cast(('0x' || substr({fp}, 1, 15)) AS bigint)",
     }
+
+
+# ---- scrubbing + vocabulary -------------------------------------------------
+
+# deliberately simple ASCII-class patterns so the Java and RE2/DuckDB
+# dialects agree byte-for-byte
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def scrub_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII/URL scrubbing pass: emails → <EMAIL>, URLs → <URL>, bare IPv4s
+    → <IP>; adds per-doc replacement counts.  Pure codegen'd
+    regexp_replace/regexp_count — scan-local, no shuffle, the standard
+    pre-training scrub stage."""
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_emails": _count_re(t, EMAIL_RE),
+            "n_urls": _count_re(t, URL_RE),
+            "n_ips": _count_re(
+                F.regexp_replace(
+                    F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                    URL_RE,
+                    "<URL>",
+                ),
+                IPV4_RE,
+            ),
+            "scrubbed_text": F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                    URL_RE,
+                    "<URL>",
+                ),
+                IPV4_RE,
+                "<IP>",
+            ),
+        }
+    )
+
+
+def scrub_text_sql(src: str = "documents", text_col: str = "text") -> str:
+    email, url, ip = EMAIL_RE, URL_RE, IPV4_RE
+    no_email = f"regexp_replace({text_col}, '{email}', '<EMAIL>', 'g')"
+    no_url = f"regexp_replace({no_email}, '{url}', '<URL>', 'g')"
+    return f"""
+SELECT *,
+  cast(len(regexp_extract_all({text_col}, '{email}')) AS bigint)
+    AS n_emails,
+  cast(len(regexp_extract_all({text_col}, '{url}')) AS bigint) AS n_urls,
+  cast(len(regexp_extract_all({no_url}, '{ip}')) AS bigint) AS n_ips,
+  regexp_replace({no_url}, '{ip}', '<IP>', 'g') AS scrubbed_text
+FROM {src}
+"""
+
+
+def vocab_topk(
+    docs: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """(token, n_docs, n_occurrences, rank): the top-k corpus vocabulary
+    by occurrence count — the frequency table tokenizer training and
+    stopword selection start from.  Deterministic total order
+    (count desc, token asc).  One explode + one groupBy(token); at
+    corpus scale the groupBy output is vocabulary-sized (≪ corpus), and
+    the top-k is a tree-aggregated TakeOrdered, not a global sort."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(_norm_ws(F.col(text_col)), " "),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("token", "n_docs", "n_occurrences", "rank")
+    )
+
+
+def vocab_topk_sql(
+    src: str = "documents", text_col: str = "text", k: int = 100
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS token FROM {src}
+),
+counts AS (
+  SELECT token,
+         cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+         cast(count(*) AS bigint) AS n_occurrences
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, n_docs, n_occurrences,
+       cast(row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+            AS bigint) AS rank
+FROM counts
+QUALIFY rank <= {k}
+"""
