@@ -28,6 +28,9 @@ TARGETS = [
     "pack_manifest",
     "corpus_sample",
     "shard_stats",
+    "contamination_flags",
+    "vocab_topk",
+    "scrub_text",
 ]
 
 PATTERNS = {
