@@ -82,3 +82,20 @@ def test_dedup_order_invariance(spark):
         .collect()
     )
     assert a == b
+
+
+def test_single_pass_parse_equals_fieldwise(spark):
+    """The one-regex grok (default) and the five per-field extracts must
+    agree on every synthesized row — including the dirty ones (%79 no EVT
+    line, %97 blank pid, %89 bogus ip, %83 IPv6)."""
+    from d1_log_aggregation_spark.transcripts import load_transcripts
+
+    t = load_transcripts(spark, "/root/testdata/sf0.001")
+    cols = [
+        "event_id", "event", "pid", "ip", "ua", "subj",
+        "is_parsable", "has_pid",
+    ]
+    a = parse_events(t, single_pass=True).select(cols)
+    b = parse_events(t, single_pass=False).select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
