@@ -137,7 +137,17 @@ def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # the emitted aggregate is small (one row per day-window × sink):
+    # detach it from the temp dirs so they can be removed — repeated gate
+    # runs would otherwise leak a transcripts copy per invocation
+    import shutil
+
+    result = spark.read.parquet(out)
+    schema = result.schema
+    rows = result.collect()
+    for d in (inp, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -181,6 +181,10 @@ def run_datapipe(spark) -> dict:
             dt = time.monotonic() - t
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 3)
+        # each call persists its own internal caches (shingle index, band
+        # tables); drop them so later jobs are not timed under the
+        # eviction pressure of earlier jobs' dead caches
+        spark.catalog.clearCache()
     return out
 
 
@@ -279,6 +283,7 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
             t = time.monotonic()
             _mat(fn(df))
             out[f"{name}_{tag}_sec"] = round(time.monotonic() - t, 3)
+            spark.catalog.clearCache()  # drop the op's internal persists
         out[f"{name}_growth"] = round(
             out[f"{name}_{factor}x_sec"] / out[f"{name}_1x_sec"], 2
         )
@@ -295,6 +300,7 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
         t = time.monotonic()
         _mat(vectors.embedding_neardup_pairs(df, **kw))
         out[f"embedding_neardup_{tag}_sec"] = round(time.monotonic() - t, 3)
+        spark.catalog.clearCache()
     out["embedding_neardup_growth"] = round(
         out[f"embedding_neardup_{factor}x_sec"]
         / out["embedding_neardup_1x_sec"], 2

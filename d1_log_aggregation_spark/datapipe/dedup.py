@@ -591,7 +591,7 @@ def dedup_components(
     text_col: str = "text",
     threshold: float = 0.5,
     max_shingle_df: int = MAX_SHINGLE_DF,
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(doc_id, component_id) for every document in a duplicate CLUSTER:
     connected components over the union of exact-dup and Jaccard ≥
@@ -636,6 +636,7 @@ def dedup_components(
         .withColumn("component_id", F.col("doc_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -666,7 +667,21 @@ def dedup_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()  # superseded round's cache
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    return labels.select("doc_id", "component_id")
+    # correctness guard: min-label moves one hop per round, so a dup
+    # CHAIN longer than max_iter (templated boilerplate produces these)
+    # would silently return stale labels — refuse instead
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} iterations "
+            "(duplicate-chain diameter exceeds max_iter); raise max_iter"
+        )
+    out = labels.select("doc_id", "component_id")
+    pairs.unpersist()
+    edges.unpersist()
+    docs.unpersist()
+    return out

@@ -59,21 +59,26 @@ def extract_features(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # payloads are fixed-width (md5 = 16 bytes ≥ n_feat): one
-            # vectorized frombuffer over the concatenation instead of a
-            # per-row loop (a real decoder is per-row by nature; the
-            # fake's batch shape should still be the vectorized one)
-            if len(pdf):
-                joined = b"".join(pdf["payload"])
-                width = len(joined) // len(pdf)
+            # fixed-width payloads (the md5 stub: 16 bytes ≥ n_feat) take
+            # one vectorized frombuffer over the batch concatenation;
+            # variable-width batches fall back to the per-row loop (a
+            # blind reshape would silently shift bytes across rows)
+            lens = pdf["payload"].map(len) if len(pdf) else None
+            if len(pdf) and lens.nunique() == 1:
+                width = int(lens.iloc[0])
                 mat = (
-                    np.frombuffer(joined, dtype=np.uint8)
+                    np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
                     .reshape(len(pdf), width)[:, :n_feat]
                     .astype(np.float64)
                     / 255.0
                 )
             else:
-                mat = np.zeros((0, n_feat), dtype=np.float64)
+                mat = np.zeros((len(pdf), n_feat), dtype=np.float64)
+                for r, buf in enumerate(pdf["payload"]):
+                    mat[r] = (
+                        np.frombuffer(buf, dtype=np.uint8, count=n_feat)
+                        / 255.0
+                    )
             out = {
                 "doc_id": pdf["doc_id"].values,
                 "width": pdf["width"].values,

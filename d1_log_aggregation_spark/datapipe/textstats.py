@@ -34,7 +34,11 @@ def _norm(text: Column) -> Column:
 
 
 def _norm_ws(text: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    # single source of truth for whitespace-collapsing normalization:
+    # vocab tokens must match the shingle/dedup tokenization exactly
+    from .dedup import norm_text
+
+    return norm_text(text)
 
 
 def _count_re(text: Column, pattern: str) -> Column:
@@ -266,11 +270,14 @@ def vocab_topk(
         F.countDistinct("doc_id").alias("n_docs"),
         F.count(F.lit(1)).alias("n_occurrences"),
     )
+    # top-k FIRST via orderBy().limit(k) — a tree-aggregated TakeOrdered,
+    # never a global sort of the whole vocabulary; the rank window then
+    # runs over only k surviving rows (an unpartitioned window over the
+    # full counts would Exchange SinglePartition the entire vocabulary)
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("token", "n_docs", "n_occurrences", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_docs", "n_occurrences", "rank"
     )
 
 

@@ -117,13 +117,16 @@ def parse_events(
 def parse_sql_columns(text_col: str = "text") -> dict[str, str]:
     """DuckDB expressions mirroring parse_events, keyed by output column.
 
-    DuckDB's regexp_extract(str, pat, group) returns '' on no-match, same
-    as Spark's.
+    Uses the SAME all-or-nothing full-line pattern as the default Spark
+    path (RE_FULL): a line missing any field yields '' for every field in
+    BOTH engines — the oracle validates the shipped grok semantics, not
+    just the well-formed subset.  DuckDB's regexp_extract returns '' on
+    no-match, same as Spark's.
     """
+    full = RE_FULL.replace("'", "''")
     return {
-        "event": f"regexp_extract({text_col}, 'EVT type=([a-z]+) ', 1)",
-        "pid": f"regexp_extract({text_col}, ' pid=(\\S*) ip=', 1)",
-        "ip": f"regexp_extract({text_col}, ' ip=(\\S+) ua=', 1)",
-        "ua": f"regexp_extract({text_col}, ' ua=\"([^\"]*)\"', 1)",
-        "subj": f"regexp_extract({text_col}, ' subj=\"([^\"]*)\"', 1)",
+        name: f"regexp_extract({text_col}, '{full}', {i})"
+        for i, name in enumerate(
+            ["event", "pid", "ip", "ua", "subj"], start=1
+        )
     }

@@ -171,12 +171,15 @@ def read_sinks(
     earlier versions are gone — same contract as Iceberg snapshot expiry.
     """
     commits = read_commits(base_dir)
+    # seq slice FIRST (seq is an index into the FULL snapshots() order —
+    # slicing after the time filter would renumber and leak later commits
+    # when both bounds are passed)
+    if as_of_seq is not None:
+        commits = commits[: as_of_seq + 1]
     if as_of_unix_ns is not None:
         commits = [
             c for c in commits if c["committed_at_unix_ns"] <= as_of_unix_ns
         ]
-    if as_of_seq is not None:
-        commits = commits[: as_of_seq + 1]
     if not commits:
         raise FileNotFoundError(
             f"no committed snapshots under {base_dir} (within as_of bound)"

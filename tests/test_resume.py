@@ -174,3 +174,10 @@ def test_time_travel_reads_historical_versions(spark, tmp_path):
     assert "org-refreshed" not in {
         r["rights_holder"] for r in at_v1.select("rights_holder").collect()
     }
+    # both bounds: seq indexes the FULL snapshots() order, so as_of_seq=0
+    # must pin to v0 even when the time bound admits v1 (a post-filter
+    # slice would renumber and leak v1)
+    both = writer.read_sinks(
+        spark, out, as_of_seq=0, as_of_unix_ns=ts_v2 - 1
+    )
+    assert both.count() == early.count()
