@@ -390,6 +390,15 @@ def _q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.stop_shingle_stats(load_corpus(spark, sf_dir))
 
 
+def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over parsed (deduped) events, rolled up
+    per session (operators/sessionize.py)."""
+    from d1_log_aggregation_spark.operators.sessionize import session_stats
+
+    ev = parse_events(dedup_turns(load_transcripts(spark, sf_dir)))
+    return session_stats(ev, gap_seconds=1800)
+
+
 def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII/URL scrub over the transcripts (turn text embeds IPv4s and
     robot-UA URLs, so the replacement counts are non-trivial)."""
@@ -402,6 +411,15 @@ def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.dedup_components(load_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: corpus docs with doc_id % 3 == 0 as the new
+    batch, the rest as the existing corpus."""
+    corpus = load_corpus(spark, sf_dir)
+    new_b = corpus.filter(F.col("doc_id") % 3 == 0)
+    base_b = corpus.filter(F.col("doc_id") % 3 != 0)
+    return dp_dedup.dedup_against(new_b, base_b, threshold=0.5)
 
 
 def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "scrub_text": _q_scrub_text,
         "vocab_topk": _q_vocab_topk,
+        "session_stats": _q_session_stats,
+        "dedup_against": _q_dedup_against,
     }
 
 
@@ -497,6 +517,9 @@ def oracle_sql() -> dict[str, str]:
                 bench_mod=37, min_common=5
             ),
             "dedup_components": dp_oracle.dedup_components_sql(0.5),
+            "dedup_against": dp_oracle.dedup_against_sql(
+                new_mod=3, threshold=0.5
+            ),
             "scrub_text": dp_text.scrub_text_sql(
                 src=f"({oracle.transcripts_sql()})"
             ),

@@ -685,3 +685,81 @@ def dedup_components(
     edges.unpersist()
     docs.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# 9. Incremental dedup (new batch vs existing corpus).
+# --------------------------------------------------------------------------
+
+def dedup_against(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The continuous-ingestion dedup: which NEW documents survive
+    against an EXISTING corpus?  Returns the new docs that are neither an
+    exact duplicate of any base doc nor a Jaccard ≥ threshold near-dup of
+    one.  (Dedup WITHIN the new batch is a separate, composable concern —
+    run corpus_deduped on the batch first.)
+
+    Scale shape: no self-join anywhere — the base fingerprint set is an
+    anti-join key, and near-dup candidates come from the CROSS-set
+    inverted-index join (new-shingles ⨝ base-shingles), so cost is
+    Σ_sh df_new(sh)·df_base(sh), bounded by the df cap on the base side.
+    The base side of a production deployment is the materialized shingle
+    index the previous run wrote — pass it via precomputed parquet and
+    this stays one scan of the (small) new batch plus index lookups."""
+    # exact: anti-join on the normalized fingerprint
+    new_fp = new_docs.select(
+        "doc_id", text_col,
+        F.md5(norm_text(F.col(text_col))).alias("fingerprint"),
+    )
+    base_fp = base_docs.select(
+        F.md5(norm_text(F.col(text_col))).alias("fingerprint")
+    ).distinct()
+    survivors = new_fp.join(base_fp, "fingerprint", "left_anti")
+
+    # near: cross-set shingle intersection, candidates verified exactly
+    sh_new, sizes_new = _shingle_index(survivors, text_col, persist=True)
+    sh_base, sizes_base = _shingle_index(base_docs, text_col, persist=True)
+    df_cap = (
+        sh_base.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sh_df"))
+        .filter(F.col("sh_df") <= max_shingle_df)
+        .select("sh")
+    )
+    common = (
+        sh_new.withColumnRenamed("doc_id", "new_id")
+        .join(df_cap, "sh")
+        .join(sh_base.withColumnRenamed("doc_id", "base_id"), "sh")
+        .groupBy("new_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    near = (
+        common.join(
+            sizes_new.select(
+                F.col("doc_id").alias("new_id"), F.col("n_sh").alias("n_a")
+            ),
+            "new_id",
+        )
+        .join(
+            sizes_base.select(
+                F.col("doc_id").alias("base_id"),
+                F.col("n_sh").alias("n_b"),
+            ),
+            "base_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    return survivors.join(near, "doc_id", "left_anti").select(
+        "doc_id", text_col
+    )

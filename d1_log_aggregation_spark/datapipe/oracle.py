@@ -662,3 +662,51 @@ FROM (SELECT DISTINCT a AS doc_id FROM edges) v
 LEFT JOIN reach r ON r.a = v.doc_id
 GROUP BY v.doc_id
 """
+
+
+def dedup_against_sql(
+    new_mod: int = 3, threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
+) -> str:
+    """Twin of dedup.dedup_against with the gate split: new batch =
+    corpus docs with doc_id % new_mod == 0, base = the rest."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    key = D.SHINGLE_KEY_SQL.format(c="sh_str")
+    return f"""
+WITH corpus AS ({corpus_sql()}),
+newb AS (SELECT * FROM corpus WHERE doc_id % {new_mod} = 0),
+baseb AS (SELECT * FROM corpus WHERE doc_id % {new_mod} <> 0),
+base_fp AS (SELECT DISTINCT md5({norm}) AS fingerprint FROM baseb),
+survivors AS (
+  SELECT n.doc_id, n.text FROM newb n
+  WHERE md5({norm.replace('text', 'n.text')}) NOT IN
+        (SELECT fingerprint FROM base_fp)
+),
+shn0 AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str FROM survivors
+),
+shn AS (SELECT doc_id, {key} AS sh FROM shn0),
+sizes_n AS (SELECT doc_id, count(*) AS n_sh FROM shn GROUP BY doc_id),
+shb0 AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str FROM baseb
+),
+shb AS (SELECT doc_id, {key} AS sh FROM shb0),
+sizes_b AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY doc_id),
+kept AS (
+  SELECT sh FROM shb GROUP BY sh HAVING count(*) <= {max_df}
+),
+common AS (
+  SELECT n.doc_id AS new_id, b.doc_id AS base_id, count(*) AS n_common
+  FROM shn n JOIN kept k ON n.sh = k.sh JOIN shb b ON n.sh = b.sh
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT DISTINCT c.new_id AS doc_id
+  FROM common c
+  JOIN sizes_n sn ON c.new_id = sn.doc_id
+  JOIN sizes_b sb ON c.base_id = sb.doc_id
+  WHERE c.n_common * 1.0 / (sn.n_sh + sb.n_sh - c.n_common)
+        >= {threshold}
+)
+SELECT s.doc_id, s.text FROM survivors s
+WHERE s.doc_id NOT IN (SELECT doc_id FROM near)
+"""

@@ -239,6 +239,12 @@ def _bucket_sql() -> str:
     return bucket_sql("conv_id", DEFAULT_BUCKETS)
 
 
+def _sessionize_sql(parsed_cte: str) -> str:
+    from .operators.sessionize import session_stats_sql
+
+    return session_stats_sql(parsed_cte)
+
+
 def oracle_queries() -> dict[str, str]:
     base = routed_cte()
     return {
@@ -304,6 +310,12 @@ GROUP BY conv_id ORDER BY partition_key""",
 EXCEPT
 SELECT conv_id FROM r WHERE sink = 'dlq'
 ORDER BY conv_id""",
+        # gap-based sessionization over the parsed (deduped) events —
+        # lag-gap flag + cumulative sum per client ip, rolled up per
+        # session (operators/sessionize.py twin)
+        "session_stats": base
+        + ",\n"
+        + _sessionize_sql("p"),
         # §2.8 streaming twin: append-mode tumbling day windows emit every
         # window whose end has passed the final watermark (max ts − 1 h,
         # ms precision — Spark tracks event-time watermarks in millis)
