@@ -31,6 +31,8 @@ TARGETS = [
     "contamination_flags",
     "vocab_topk",
     "scrub_text",
+    "session_stats",
+    "dedup_against",
 ]
 
 PATTERNS = {
