@@ -181,3 +181,32 @@ def test_time_travel_reads_historical_versions(spark, tmp_path):
         spark, out, as_of_seq=0, as_of_unix_ns=ts_v2 - 1
     )
     assert both.count() == early.count()
+
+
+def test_schema_evolution_across_snapshots(spark, tmp_path):
+    """A later snapshot may carry NEW columns (sink schema evolution —
+    the Iceberg add-column analog): read_sinks unions by name with
+    missing columns null-filled, and last-write-wins still applies."""
+    out = str(tmp_path / "sinks")
+    t = load_transcripts(spark, SF)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+    routed = run_pipeline(t, reg, sm, CFG)
+
+    writer.write_snapshot(routed, out, "v0")
+    evolved = routed.withColumn("quality_tier", F.lit("gold"))
+    writer.write_snapshot(
+        evolved.filter(F.col("ts") >= "2024-01-15 00:00:00"), out, "v1"
+    )
+
+    merged = writer.read_sinks(spark, out)
+    assert "quality_tier" in merged.columns
+    assert merged.count() == routed.count()  # key set unchanged
+    tiers = {
+        (r["quality_tier"], r["ts"] >= __import__("datetime").datetime(
+            2024, 1, 15))
+        for r in merged.select("quality_tier", "ts").collect()
+    }
+    # old-era rows: null tier (v0 snapshot had no column); new-era rows:
+    # the v1 rewrite wins with 'gold'
+    assert (None, False) in tiers and ("gold", True) in tiers
+    assert ("gold", False) not in tiers
