@@ -99,3 +99,41 @@ def test_single_pass_parse_equals_fieldwise(spark):
     b = parse_events(t, single_pass=False).select(cols)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Randomized (fixed-seed) cross-check: gap-based session assignment
+    in Spark equals a straightforward per-key Python scan."""
+    import datetime as _dt
+    import random
+
+    from d1_log_aggregation_spark.operators.sessionize import sessionize
+
+    rng = random.Random(42)
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        ip = f"10.0.0.{rng.randint(1, 4)}"
+        ts = t0 + _dt.timedelta(seconds=rng.randint(0, 100_000))
+        rows.append((f"e{i}", ip, ts))
+    df = spark.createDataFrame(
+        rows, "event_id string, ip string, ts timestamp"
+    )
+    got = {
+        r["event_id"]: (r["session_idx"], r["is_new_session"])
+        for r in sessionize(df, gap_seconds=600).collect()
+    }
+
+    by_ip: dict[str, list] = {}
+    for eid, ip, ts in rows:
+        by_ip.setdefault(ip, []).append((ts, eid))
+    want = {}
+    for ip, evs in by_ip.items():
+        evs.sort()
+        idx, prev = 0, None
+        for ts, eid in evs:
+            new = prev is None or (ts - prev).total_seconds() > 600
+            idx += 1 if new else 0
+            want[eid] = (idx, 1 if new else 0)
+            prev = ts
+    assert got == want
