@@ -390,6 +390,29 @@ def _q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.stop_shingle_stats(load_corpus(spark, sf_dir))
 
 
+def _q_top_pids_per_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window rank: the 3 most-read pids per role
+    (deterministic tiebreak on pid), non-robot clean reads only."""
+    from pyspark.sql import Window
+
+    r = _routed(spark, sf_dir).filter(
+        (F.col("sink") != "dlq")
+        & (F.col("event") == "read")
+        & ~F.col("in_full_robot_list")
+    )
+    counts = r.groupBy("role", "pid").agg(
+        F.count(F.lit(1)).alias("n_reads")
+    )
+    w = Window.partitionBy("role").orderBy(
+        F.desc("n_reads"), F.asc("pid")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("role", "pid", "n_reads", "rank")
+    )
+
+
 def _q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over parsed (deduped) events, rolled up
     per session (operators/sessionize.py)."""
@@ -407,6 +430,10 @@ def _q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+def _q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_text.doc_keywords(_docs(spark, sf_dir), k=3)
 
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "session_stats": _q_session_stats,
         "dedup_against": _q_dedup_against,
+        "top_pids_per_role": _q_top_pids_per_role,
+        "doc_keywords": _q_doc_keywords,
     }
 
 
@@ -524,6 +553,7 @@ def oracle_sql() -> dict[str, str]:
                 src=f"({oracle.transcripts_sql()})"
             ),
             "vocab_topk": dp_text.vocab_topk_sql(k=100),
+            "doc_keywords": dp_text.doc_keywords_sql(k=3),
         }
     )
     return out

@@ -301,3 +301,66 @@ SELECT token, n_docs, n_occurrences,
 FROM counts
 QUALIFY rank <= {k}
 """
+
+
+def doc_keywords(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, token, tf, df, rank ≤ k): each document's characteristic
+    terms — highest term frequency, ties broken by LOWEST document
+    frequency (rarer = more characteristic), then token.  The
+    keyword-extraction shape of TF-IDF with an integer-only ranking key,
+    so both engines order identically with no float log in sight.
+
+    Plan: one explode → (doc, token) counts → broadcast-join the (small,
+    vocabulary-sized) df table → per-doc window top-k.  The window
+    partitions by doc_id (high-cardinality, skew-free)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(_norm_ws(F.col(text_col)), " "),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )
+
+
+def doc_keywords_sql(
+    src: str = "documents", text_col: str = "text", k: int = 3
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split({norm}, ' ')) AS token FROM {src}
+),
+tf AS (
+  SELECT doc_id, token, cast(count(*) AS bigint) AS tf
+  FROM toks WHERE token <> '' GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, cast(count(*) AS bigint) AS df FROM tf GROUP BY token
+)
+SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       cast(row_number() OVER (
+         PARTITION BY tf.doc_id
+         ORDER BY tf.tf DESC, dfreq.df ASC, tf.token ASC) AS bigint)
+         AS rank
+FROM tf JOIN dfreq ON tf.token = dfreq.token
+QUALIFY rank <= {k}
+"""

@@ -310,6 +310,20 @@ GROUP BY conv_id ORDER BY partition_key""",
 EXCEPT
 SELECT conv_id FROM r WHERE sink = 'dlq'
 ORDER BY conv_id""",
+        # top-k per group: most-read pids per role (window rank with
+        # deterministic tiebreak), clean non-robot reads only
+        "top_pids_per_role": base
+        + """, tc AS (
+  SELECT role, pid, cast(count(*) AS bigint) AS n_reads
+  FROM r
+  WHERE sink <> 'dlq' AND event = 'read' AND NOT in_full_robot_list
+  GROUP BY role, pid
+)
+SELECT role, pid, n_reads,
+       cast(row_number() OVER (
+         PARTITION BY role ORDER BY n_reads DESC, pid ASC) AS bigint)
+         AS rank
+FROM tc QUALIFY rank <= 3""",
         # gap-based sessionization over the parsed (deduped) events —
         # lag-gap flag + cumulative sum per client ip, rolled up per
         # session (operators/sessionize.py twin)
