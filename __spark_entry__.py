@@ -390,6 +390,18 @@ def _q_dedup_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.stop_shingle_stats(load_corpus(spark, sf_dir))
 
 
+def _q_robot_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import robot_rate_daily
+
+    return robot_rate_daily(_routed(spark, sf_dir))
+
+
+def _q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import user_retention
+
+    return user_retention(_routed(spark, sf_dir))
+
+
 def _q_top_pids_per_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via window rank: the 3 most-read pids per role
     (deterministic tiebreak on pid), non-robot clean reads only."""
@@ -505,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": _q_dedup_against,
         "top_pids_per_role": _q_top_pids_per_role,
         "doc_keywords": _q_doc_keywords,
+        "robot_rate_daily": _q_robot_rate_daily,
+        "user_retention": _q_user_retention,
     }
 
 

@@ -239,6 +239,18 @@ def _bucket_sql() -> str:
     return bucket_sql("conv_id", DEFAULT_BUCKETS)
 
 
+def _robot_rate_daily_sql() -> str:
+    from .operators.analytics import robot_rate_daily_sql
+
+    return robot_rate_daily_sql()
+
+
+def _user_retention_sql() -> str:
+    from .operators.analytics import user_retention_sql
+
+    return user_retention_sql()
+
+
 def _sessionize_sql(parsed_cte: str) -> str:
     from .operators.sessionize import session_stats_sql
 
@@ -310,6 +322,10 @@ GROUP BY conv_id ORDER BY partition_key""",
 EXCEPT
 SELECT conv_id FROM r WHERE sink = 'dlq'
 ORDER BY conv_id""",
+        # daily robot-rate series with trailing moving average + cohort
+        # retention (operators/analytics.py twins)
+        "robot_rate_daily": base + ",\n" + _robot_rate_daily_sql(),
+        "user_retention": base + ",\n" + _user_retention_sql(),
         # top-k per group: most-read pids per role (window rank with
         # deterministic tiebreak), clean non-robot reads only
         "top_pids_per_role": base
