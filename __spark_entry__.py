@@ -402,6 +402,78 @@ def _q_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_retention(_routed(spark, sf_dir))
 
 
+def _q_sink_role_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import (
+        sink_role_rollup,
+    )
+
+    return sink_role_rollup(_routed(spark, sf_dir))
+
+
+def _q_role_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import (
+        role_event_pivot,
+    )
+
+    return role_event_pivot(_routed(spark, sf_dir))
+
+
+def _q_conv_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import conv_funnel
+
+    return conv_funnel(_routed(spark, sf_dir))
+
+
+def _q_approx_distinct_subjects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HLL++ sketch counts (rows-only gate: register contents are
+    engine-specific; pytest bounds the error vs the exact count)."""
+    from d1_log_aggregation_spark.operators.analytics import (
+        approx_distinct_subjects,
+    )
+
+    return approx_distinct_subjects(_routed(spark, sf_dir))
+
+
+def _q_enrich_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal as-of enrich (operators/asof.py, broadcast strategy):
+    each parsed event picks the latest versioned-registry row with
+    valid_from ≤ ts; DuckDB's native ASOF JOIN is the oracle."""
+    from d1_log_aggregation_spark.operators.asof import asof_join
+    from d1_log_aggregation_spark.operators.enrich import registry_key_col
+
+    ev = parse_events(dedup_turns(load_transcripts(spark, sf_dir)))
+    ev = ev.withColumn(
+        "registry_key",
+        F.when(F.col("ip_long").isNotNull(), registry_key_col()),
+    )
+    out = asof_join(
+        ev,
+        dims.versioned_registry_df(spark, sf_dir),
+        keys=["registry_key"],
+        ts_col="ts",
+        payload_cols=["version", "city", "node_id"],
+        strategy="broadcast",
+    )
+    return out.select(
+        "event_id",
+        F.col("version").alias("reg_version"),
+        F.col("valid_from").alias("reg_valid_from"),
+        F.col("city").alias("reg_city"),
+    )
+
+
+def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_text.token_quantiles(_docs(spark, sf_dir))
+
+
+def _q_corpus_deduped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.corpus_deduped_lsh(
+        load_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
 def _q_top_pids_per_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via window rank: the 3 most-read pids per role
     (deterministic tiebreak on pid), non-robot clean reads only."""
@@ -519,6 +591,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "robot_rate_daily": _q_robot_rate_daily,
         "user_retention": _q_user_retention,
+        "sink_role_rollup": _q_sink_role_rollup,
+        "role_event_pivot": _q_role_event_pivot,
+        "conv_funnel": _q_conv_funnel,
+        "approx_distinct_subjects": _q_approx_distinct_subjects,
+        "enrich_asof": _q_enrich_asof,
+        "token_quantiles": _q_token_quantiles,
+        "corpus_deduped_lsh": _q_corpus_deduped_lsh,
     }
 
 
@@ -568,6 +647,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             "vocab_topk": dp_text.vocab_topk_sql(k=100),
             "doc_keywords": dp_text.doc_keywords_sql(k=3),
+            "token_quantiles": dp_text.token_quantiles_sql(),
+            "corpus_deduped_lsh": dp_oracle.corpus_deduped_lsh_sql(0.5),
         }
     )
     return out

@@ -453,6 +453,42 @@ def corpus_deduped(
     )
 
 
+def corpus_deduped_lsh(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The deduplicated corpus under min-canonical survivorship with
+    MinHash-LSH candidate generation — the 100 TB path of
+    ``corpus_deduped``: near-dup pairs come from ``minhash_lsh_pairs``
+    (band buckets + candidate-only verify) instead of the inverted-index
+    all-pairs join, so the pair stage never depends on the shingle
+    document-frequency distribution.  A doc is dropped iff it has an
+    exact duplicate or an LSH-surfaced Jaccard ≥ threshold near-dup with
+    a smaller doc_id.
+
+    Trade-off vs corpus_deduped: LSH can MISS a qualifying pair whose
+    signatures share no band (probability (1-t^r)^b per pair — ~2% at
+    t=0.5 with 8 bands × 2 rows); the capped inverted index can miss
+    pairs only sharing stop-shingles.  Both policies are legitimate; the
+    gate checks each against its own oracle semantics."""
+    from pyspark import StorageLevel
+
+    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    exact_losers = (
+        exact_duplicates(docs, text_col)
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    near_losers = minhash_lsh_pairs(
+        docs, text_col, threshold=threshold
+    ).select(F.col("doc_b").alias("doc_id"))
+    losers = exact_losers.unionByName(near_losers).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", text_col
+    )
+
+
 def dedup_losers(
     docs: DataFrame,
     text_col: str = "text",

@@ -98,6 +98,30 @@ WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
 """
 
 
+def corpus_deduped_lsh_sql(threshold: float = 0.5) -> str:
+    """Min-canonical survivorship twin of dedup.corpus_deduped_lsh: the
+    near-dup edge set is the MinHash-LSH pair relation (nested-CTE
+    subquery reusing minhash_lsh_pairs_sql verbatim)."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH corpus AS ({corpus_sql()}),
+lshp AS (SELECT * FROM ({minhash_lsh_pairs_sql(threshold)}) _l),
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM corpus),
+eg AS (
+  SELECT fingerprint, min(doc_id) AS canonical_id, count(*) AS group_size
+  FROM fp GROUP BY fingerprint
+),
+losers AS (
+  SELECT fp.doc_id FROM fp JOIN eg ON fp.fingerprint = eg.fingerprint
+  WHERE eg.group_size > 1 AND fp.doc_id <> eg.canonical_id
+  UNION
+  SELECT doc_b AS doc_id FROM lshp
+)
+SELECT c.doc_id, c.text FROM corpus c
+WHERE c.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
 def training_corpus_sql(
     threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
 ) -> str:

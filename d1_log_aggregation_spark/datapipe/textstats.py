@@ -303,6 +303,79 @@ QUALIFY rank <= {k}
 """
 
 
+QUANTILE_PCTS = [50, 90, 99]
+
+
+def token_quantiles(
+    docs: DataFrame, text_col: str = "text", pcts: list[int] | None = None
+) -> DataFrame:
+    """(lang_id, n_docs, p50, p90, p99): EXACT per-language quantiles of
+    the BPE token count — the corpus length profile a training pipeline
+    reports per language before packing.
+
+    Exact discrete quantile, deterministically: rank docs per language by
+    (n_bpe_tokens, doc_id), pick rank ceil(p·n/100) — integer-only
+    arithmetic, so both engines agree bit-for-bit (approx sketches like
+    percentile_approx/t-digest are NOT cross-engine reproducible; see
+    approx_distinct_subjects for the sketch-flavored rows-only op).
+
+    Plan: one shuffle on lang_id for the window sort, then a
+    language-cardinality aggregate.  Languages are few → partitions are
+    corpus-sized per language; at 100 TB swap the window for a two-pass
+    count + filtered rank lookup, or accept the per-language sort (it
+    parallelizes across languages and AQE splits skewed ones)."""
+    pcts = pcts or QUANTILE_PCTS
+    stats = with_lang_id(with_textstats(docs, text_col), text_col)
+    w = Window.partitionBy("lang_id").orderBy("n_bpe_tokens", "doc_id")
+    ranked = stats.select(
+        "lang_id",
+        "n_bpe_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("lang_id"))
+        .alias("cnt"),
+    )
+    aggs = [F.max("cnt").alias("n_docs")]
+    for p in pcts:
+        target = F.floor((F.lit(p) * F.col("cnt") + 99) / 100)
+        aggs.append(
+            F.max(
+                F.when(F.col("rn") == target, F.col("n_bpe_tokens"))
+            ).alias(f"p{p}")
+        )
+    return ranked.groupBy("lang_id").agg(*aggs)
+
+
+def token_quantiles_sql(
+    src: str = "documents", pcts: list[int] | None = None
+) -> str:
+    pcts = pcts or QUANTILE_PCTS
+    ts = textstats_sql()
+    sel = ",\n       ".join(
+        f"max(CASE WHEN rn = cast(floor(({p} * cnt + 99) / 100) AS bigint)"
+        f" THEN n_bpe_tokens END) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+WITH st AS (
+  SELECT doc_id, {ts['n_bpe_tokens']} AS n_bpe_tokens,
+         {lang_id_sql()} AS lang_id
+  FROM {src}
+),
+ranked AS (
+  SELECT lang_id, n_bpe_tokens,
+         cast(row_number() OVER (
+           PARTITION BY lang_id ORDER BY n_bpe_tokens, doc_id) AS bigint)
+           AS rn,
+         cast(count(*) OVER (PARTITION BY lang_id) AS bigint) AS cnt
+  FROM st
+)
+SELECT lang_id, max(cnt) AS n_docs,
+       {sel}
+FROM ranked GROUP BY lang_id
+"""
+
+
 def doc_keywords(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -196,6 +196,49 @@ def registry_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# Versioned registry (slowly-changing dimension for the as-of join).
+# Three deterministic snapshots of the registry: v1 before the event window
+# (2023-12-01), v2 and v3 mid-window (2024-01-11 / 2024-01-21 — the
+# testdata events span 2024-01-01..30).  Keys with registry_key % 3 == 0
+# have NO v1 row, so early events on those keys as-of-miss (NULL payload) —
+# the reference reloads its registry per harvest run
+# (LogHarvesterTask.java:237-294); the versioned form makes that refresh
+# an explicit, replayable dimension.
+# --------------------------------------------------------------------------
+
+VERSIONED_REGISTRY_TEMPLATE = """
+SELECT
+  reg.registry_key,
+  reg.node_id,
+  reg.city || '/v' || cast(v.version AS string) AS city,
+  cast(v.version AS int)                        AS version,
+  CASE v.version
+    WHEN 1 THEN timestamp '2023-12-01 00:00:00'
+    WHEN 2 THEN timestamp '2024-01-11 00:00:00'
+    ELSE timestamp '2024-01-21 00:00:00'
+  END AS valid_from
+FROM ({registry}) reg
+CROSS JOIN (SELECT 1 AS version UNION ALL SELECT 2 UNION ALL SELECT 3) v
+WHERE NOT (v.version = 1 AND reg.registry_key % 3 = 0)
+"""
+
+
+def versioned_registry_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    registry_df(spark, sf_dir)  # registers the _dims_* views
+    return spark.sql(
+        VERSIONED_REGISTRY_TEMPLATE.format(
+            registry=REGISTRY_SQL_TEMPLATE.format(
+                nation="_dims_nation", region="_dims_region"
+            )
+        )
+    )
+
+
+def versioned_registry_sql() -> str:
+    return VERSIONED_REGISTRY_TEMPLATE.format(registry=registry_sql())
+
+
+# --------------------------------------------------------------------------
 # Sysmeta dimension (Hazelcast sysmeta map analog), derived from documents.
 # pid space is ~10% larger than the documents table so the left join has
 # genuine misses, defaulted like LogEntrySolrItem.java:222-256 (size → 0).

@@ -105,6 +105,172 @@ def user_retention(routed: DataFrame) -> DataFrame:
     )
 
 
+ROLLUP_DIMS = ["sink", "role"]
+
+
+def sink_role_rollup(routed: DataFrame) -> DataFrame:
+    """(gid, sink, role, n_rows, n_repeat, max_ts): multi-level totals via
+    ROLLUP(sink, role) — per (sink, role), per sink, and grand total in ONE
+    aggregation pass (Catalyst expands the grouping sets and keeps the
+    partial-agg map-side combine; vs three separate groupBys = three
+    shuffles).  ``gid`` is the grouping_id bitmask (sink = high bit,
+    Spark's listed-column order) distinguishing a real NULL group value
+    from a rolled-up level."""
+    return routed.rollup(*ROLLUP_DIMS).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_repeat_visit").cast("long")).alias("n_repeat"),
+        F.max("ts").alias("max_ts"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+def sink_role_rollup_sql() -> str:
+    """Twin over the routed CTE ``r`` (DuckDB spells the bitmask as
+    grouping(col) bits composed in the same listed-column order)."""
+    return """
+SELECT sink, role,
+       count(*) AS n_rows,
+       cast(sum(CASE WHEN is_repeat_visit THEN 1 ELSE 0 END) AS bigint)
+         AS n_repeat,
+       max(ts) AS max_ts,
+       cast(grouping(sink) * 2 + grouping(role) AS bigint) AS gid
+FROM r GROUP BY ROLLUP(sink, role)
+"""
+
+
+EVENT_TYPES = ["read", "create", "update", "delete"]
+
+
+def role_event_pivot(routed: DataFrame) -> DataFrame:
+    """(role, n_read, n_create, n_update, n_delete): event-type cross-tab
+    per role over non-DLQ rows — ``groupBy().pivot()`` with the value list
+    pinned (no extra distinct-scan job to discover pivot values; at 100 TB
+    an unpinned pivot first runs a full distinct over the pivot column).
+    One shuffle; absent combinations are 0, not NULL."""
+    piv = (
+        routed.filter(F.col("sink") != "dlq")
+        .groupBy("role")
+        .pivot("event", EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "role",
+        *[
+            F.coalesce(F.col(e), F.lit(0)).alias(f"n_{e}")
+            for e in EVENT_TYPES
+        ],
+    )
+
+
+def role_event_pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"cast(sum(CASE WHEN event = '{e}' THEN 1 ELSE 0 END) AS bigint)"
+        f" AS n_{e}"
+        for e in EVENT_TYPES
+    )
+    return f"""
+SELECT role,
+       {cols}
+FROM r WHERE sink <> 'dlq' GROUP BY role
+"""
+
+
+FUNNEL_STEPS = ["read", "create", "update"]
+
+
+def conv_funnel(
+    routed: DataFrame, steps: list[str] | None = None
+) -> DataFrame:
+    """(funnel_step, n_convs): sequence/funnel analytics — how many
+    conversations progressed through ``steps`` IN ORDER (default
+    read → create → update), regardless of interleaved other events.
+
+    Plan: ONE groupBy(conv_id) builds the chronologically-ordered event
+    string (collect_list → array_sort on (ts, turn_idx) — deterministic
+    because (conv_id, turn_idx) is unique post-dedup), then a codegen'd
+    regex chain classifies the deepest step reached, then a tiny
+    re-aggregation on funnel_step.  Events are fenced as ``<evt>`` so the
+    in-order pattern ``<a>.*<b>`` never shares separator characters
+    (a ``|``-delimited form would double-consume the shared delimiter).
+    At 100 TB: one corpus shuffle on high-cardinality conv_id + one
+    step-cardinality aggregate."""
+    steps = steps or FUNNEL_STEPS
+    seq = (
+        routed.filter(F.col("sink") != "dlq")
+        .groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "turn_idx", "event")
+                        )
+                    ),
+                    lambda x: F.concat(
+                        F.lit("<"), x["event"], F.lit(">")
+                    ),
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    # build ascending so the OUTERMOST when tests the deepest pattern
+    # (every depth-3 conv also matches the depth-1 pattern)
+    depth = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        pat = ".*".join(f"<{s}>" for s in steps[:i])
+        depth = F.when(F.col("seq").rlike(pat), F.lit(i)).otherwise(depth)
+    return (
+        seq.withColumn("funnel_step", depth.cast("long"))
+        .groupBy("funnel_step")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .orderBy("funnel_step")
+    )
+
+
+def conv_funnel_sql(steps: list[str] | None = None) -> str:
+    """Twin over the routed CTE ``r``."""
+    steps = steps or FUNNEL_STEPS
+    whens = " ".join(
+        f"""WHEN regexp_matches(seq, '{".*".join(f"<{s}>" for s in steps[:i])}')
+         THEN {i}"""
+        for i in range(len(steps), 0, -1)
+    )
+    return f"""
+seqs AS (
+  SELECT conv_id,
+         string_agg('<' || event || '>', '' ORDER BY ts, turn_idx) AS seq
+  FROM r WHERE sink <> 'dlq' GROUP BY conv_id
+)
+SELECT cast(CASE {whens} ELSE 0 END AS bigint) AS funnel_step,
+       count(*) AS n_convs
+FROM seqs GROUP BY 1 ORDER BY 1
+"""
+
+
+def approx_distinct_subjects(
+    routed: DataFrame, rsd: float = 0.02
+) -> DataFrame:
+    """(sink, approx_subjects, exact_subjects): HyperLogLog++ distinct
+    principals per sink next to the exact count — the sketch a 100 TB
+    deployment uses for distinct-cardinality dashboards (exact
+    countDistinct shuffles every distinct (sink, subj) pair; the HLL
+    sketch is a fixed-size mergeable state per sink, one map-side pass).
+
+    HLL register contents are engine-specific, so this op has NO DuckDB
+    value oracle (rows-only gate); tests/test_analytics_ops.py bounds the
+    relative error against the exact count instead."""
+    return (
+        routed.filter(F.col("sink") != "dlq")
+        .groupBy("sink")
+        .agg(
+            F.approx_count_distinct("subj", rsd).alias("approx_subjects"),
+            F.countDistinct("subj").alias("exact_subjects"),
+        )
+        .orderBy("sink")
+    )
+
+
 def user_retention_sql() -> str:
     """Twin over the routed CTE ``r``."""
     wk_us = 7 * 24 * 3600 * 1_000_000

@@ -257,6 +257,50 @@ def _sessionize_sql(parsed_cte: str) -> str:
     return session_stats_sql(parsed_cte)
 
 
+def _sink_role_rollup_sql() -> str:
+    from .operators.analytics import sink_role_rollup_sql
+
+    return sink_role_rollup_sql()
+
+
+def _role_event_pivot_sql() -> str:
+    from .operators.analytics import role_event_pivot_sql
+
+    return role_event_pivot_sql()
+
+
+def _conv_funnel_sql() -> str:
+    from .operators.analytics import conv_funnel_sql
+
+    return conv_funnel_sql()
+
+
+def enrich_asof_sql() -> str:
+    """As-of enrich twin: DuckDB's native ASOF LEFT JOIN against the
+    versioned registry (operators/asof.py implements the Spark side with
+    a broadcast packed-array strategy; both use inclusive ts >= valid_from
+    semantics)."""
+    from .dims import versioned_registry_sql
+
+    return (
+        routed_cte()
+        + f""",
+vreg AS ({versioned_registry_sql()}),
+pe AS (
+  SELECT p.*, CASE WHEN ip_long IS NOT NULL
+       THEN cast(split_part(ip, '.', 2) AS int) % 25 END AS registry_key
+  FROM p
+)
+SELECT pe.event_id,
+       v.version AS reg_version,
+       v.valid_from AS reg_valid_from,
+       v.city AS reg_city
+FROM pe ASOF LEFT JOIN vreg v
+  ON pe.registry_key = v.registry_key AND pe.ts >= v.valid_from
+"""
+    )
+
+
 def oracle_queries() -> dict[str, str]:
     base = routed_cte()
     return {
@@ -326,6 +370,14 @@ ORDER BY conv_id""",
         # retention (operators/analytics.py twins)
         "robot_rate_daily": base + ",\n" + _robot_rate_daily_sql(),
         "user_retention": base + ",\n" + _user_retention_sql(),
+        # multi-level ROLLUP totals, event-type pivot, and ordered-funnel
+        # sequence analytics (operators/analytics.py twins)
+        "sink_role_rollup": base + _sink_role_rollup_sql(),
+        "role_event_pivot": base + _role_event_pivot_sql(),
+        "conv_funnel": base + ",\n" + _conv_funnel_sql(),
+        # temporal as-of enrich: latest versioned-registry row with
+        # valid_from ≤ event ts (operators/asof.py; DuckDB native ASOF)
+        "enrich_asof": enrich_asof_sql(),
         # top-k per group: most-read pids per role (window rank with
         # deterministic tiebreak), clean non-robot reads only
         "top_pids_per_role": base

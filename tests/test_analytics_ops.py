@@ -1,0 +1,96 @@
+"""Rollup / pivot / funnel / sketch analytics (operators/analytics.py
+round-3 additions).  The oracle gate covers value equality vs DuckDB;
+these tests pin the semantics on hand-built vectors and bound the HLL
+sketch error (which has no cross-engine oracle)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from d1_log_aggregation_spark.operators.analytics import (
+    approx_distinct_subjects,
+    conv_funnel,
+    role_event_pivot,
+    sink_role_rollup,
+)
+from d1_log_aggregation_spark.pipeline import PipelineConfig, run_from_dir
+
+from .conftest import SF_TINY
+
+TS = dt.datetime
+
+_COLS = (
+    "conv_id string, turn_idx int, sink string, role string, event string,"
+    " subj string, is_repeat_visit boolean, ts timestamp"
+)
+
+
+def _routed_fixture(spark):
+    rows = [
+        ("c1", 0, "role_user", "user", "read", "u1", False, TS(2024, 1, 1)),
+        ("c1", 1, "role_user", "user", "create", "u1", False, TS(2024, 1, 2)),
+        ("c1", 2, "role_user", "user", "update", "u1", True, TS(2024, 1, 3)),
+        ("c2", 0, "role_user", "user", "create", "u2", False, TS(2024, 1, 1)),
+        ("c2", 1, "role_user", "user", "read", "u2", False, TS(2024, 1, 2)),
+        ("c3", 0, "role_tool", "tool", "delete", "u3", False, TS(2024, 1, 1)),
+        ("c4", 0, "dlq", "user", "", "u4", False, TS(2024, 1, 1)),
+    ]
+    return spark.createDataFrame(rows, _COLS)
+
+
+def test_rollup_levels(spark):
+    out = {
+        (r["gid"], r["sink"], r["role"]): r["n_rows"]
+        for r in sink_role_rollup(_routed_fixture(spark)).collect()
+    }
+    # leaf level (gid 0), sink subtotal (gid 1), grand total (gid 3)
+    assert out[(0, "role_user", "user")] == 5
+    assert out[(1, "role_user", None)] == 5
+    assert out[(1, "dlq", None)] == 1
+    assert out[(3, None, None)] == 7
+
+
+def test_pivot_counts_and_zero_fill(spark):
+    out = {
+        r["role"]: (r["n_read"], r["n_create"], r["n_update"], r["n_delete"])
+        for r in role_event_pivot(_routed_fixture(spark)).collect()
+    }
+    assert out["user"] == (2, 2, 1, 0)
+    assert out["tool"] == (0, 0, 0, 1)  # absent combos are 0, not NULL
+
+
+def test_funnel_depths(spark):
+    # c1: read→create→update in order = depth 3
+    # c2: create BEFORE read → read matched, but no create after → depth 1
+    # c3: delete only → depth 0; c4 is DLQ → excluded
+    out = {
+        r["funnel_step"]: r["n_convs"]
+        for r in conv_funnel(_routed_fixture(spark)).collect()
+    }
+    assert out == {3: 1, 1: 1, 0: 1}
+
+
+def test_funnel_order_sensitivity(spark):
+    """The funnel is ORDER-sensitive, not set-membership: all three steps
+    present but out of order must not count as depth 3."""
+    rows = [
+        ("cx", 0, "s", "user", "update", "u", False, TS(2024, 1, 1)),
+        ("cx", 1, "s", "user", "create", "u", False, TS(2024, 1, 2)),
+        ("cx", 2, "s", "user", "read", "u", False, TS(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(rows, _COLS)
+    out = {r["funnel_step"]: r["n_convs"] for r in conv_funnel(df).collect()}
+    assert out == {1: 1}  # read present, nothing ordered after it
+
+
+def test_approx_distinct_within_tolerance(spark):
+    routed = run_from_dir(spark, SF_TINY, PipelineConfig(with_geohash=False))
+    rows = approx_distinct_subjects(routed).collect()
+    assert rows, "no sinks"
+    for r in rows:
+        exact = r["exact_subjects"]
+        assert exact > 0
+        rel_err = abs(r["approx_subjects"] - exact) / exact
+        assert rel_err < 0.05, (r["sink"], r["approx_subjects"], exact)

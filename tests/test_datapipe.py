@@ -232,3 +232,24 @@ def test_wide_band_sketch_oracle_and_recall(spark):
     lsh = {(r.vec_a, r.vec_b) for r in wide.collect()}
     assert brute, "planted near-dups missing from corpus"
     assert len(brute & lsh) / len(brute) >= 0.95
+
+
+def test_corpus_deduped_lsh_survivorship(spark):
+    """The LSH-path materializer drops the same exact copies as the
+    inverted-index path and every LSH-verified near-dup loser; survivors
+    are exactly corpus minus losers (min-canonical policy)."""
+    corpus = load_corpus(spark, SF)
+    n_docs = 500
+    survivors = {
+        r["doc_id"]
+        for r in dedup.corpus_deduped_lsh(corpus, threshold=0.5).collect()
+    }
+    lsh_losers = {
+        r["doc_b"]
+        for r in dedup.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    }
+    exact_copies = {i + n_docs for i in range(n_docs) if i % 10 == 0}
+    assert not exact_copies & survivors
+    assert not lsh_losers & survivors
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert survivors == all_ids - exact_copies - lsh_losers
