@@ -468,6 +468,18 @@ def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.token_quantiles(_docs(spark, sf_dir))
 
 
+def _q_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_text.merge_pair_counts(_docs(spark, sf_dir), k=50)
+
+
+def _q_rolling_node_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import (
+        rolling_node_reads,
+    )
+
+    return rolling_node_reads(_routed(spark, sf_dir))
+
+
 def _q_corpus_deduped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.corpus_deduped_lsh(
         load_corpus(spark, sf_dir), threshold=0.5
@@ -598,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_asof": _q_enrich_asof,
         "token_quantiles": _q_token_quantiles,
         "corpus_deduped_lsh": _q_corpus_deduped_lsh,
+        "merge_pair_counts": _q_merge_pair_counts,
+        "rolling_node_reads": _q_rolling_node_reads,
     }
 
 
@@ -649,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_keywords": dp_text.doc_keywords_sql(k=3),
             "token_quantiles": dp_text.token_quantiles_sql(),
             "corpus_deduped_lsh": dp_oracle.corpus_deduped_lsh_sql(0.5),
+            "merge_pair_counts": dp_text.merge_pair_counts_sql(k=50),
         }
     )
     return out

@@ -303,6 +303,73 @@ QUALIFY rank <= {k}
 """
 
 
+def merge_pair_counts(
+    docs: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """(pair, n_occurrences, rank ≤ k): adjacent-token-pair frequencies —
+    the inner loop of BPE tokenizer training (each merge round promotes
+    the most frequent adjacent pair).  Counts EVERY occurrence (not
+    per-doc distinct — merge counts weight by frequency), deterministic
+    (count desc, pair asc) order.
+
+    Plan: tokenize scan-local into a materialized array column (an inline
+    split inside the higher-order lambda would re-tokenize per element —
+    see dedup.shingles_from_tokens), build adjacent pairs with
+    transform/sequence (guarded: Spark's sequence(1, 0) DESCENDS), one
+    explode + groupBy(pair), then tree-aggregated top-k — the same
+    vocabulary-sized shapes as vocab_topk."""
+    toks_col = F.filter(
+        F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
+    )
+    with_toks = docs.select(F.col(text_col)).withColumn("_toks", toks_col)
+    n = F.size(F.col("_toks"))
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("_toks"), i),
+            F.element_at(F.col("_toks"), i + 1),
+        ),
+    )
+    counts = (
+        with_toks.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("pair", "n_occurrences", "rank")
+
+
+def merge_pair_counts_sql(
+    src: str = "documents", text_col: str = "text", k: int = 50
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    toks = f"list_filter(string_split({norm}, ' '), x -> x <> '')"
+    return f"""
+WITH tok AS (SELECT {toks} AS t FROM {src}),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM tok
+),
+counts AS (
+  SELECT pair, cast(count(*) AS bigint) AS n_occurrences
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences,
+       cast(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC)
+            AS bigint) AS rank
+FROM counts
+QUALIFY rank <= {k}
+"""
+
+
 QUANTILE_PCTS = [50, 90, 99]
 
 

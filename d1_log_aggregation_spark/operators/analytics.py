@@ -248,6 +248,75 @@ FROM seqs GROUP BY 1 ORDER BY 1
 """
 
 
+ROLLING_EPOCH = "2024-01-01"
+
+
+def rolling_node_reads(
+    routed: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """(node_id, day, n_reads, n_reads_7d): per-node daily read counts
+    with a trailing ``window_days``-day RANGE-frame sum — the
+    time-windowed per-node harvest monitor (the reference's consumers run
+    per-node date-histogram facets over the Solr index).
+
+    RANGE frame, not ROWS: a node with missing days must window over the
+    CALENDAR, not over however many rows happen to exist (a rows-frame
+    trailing sum silently stretches across gaps).  The frame orders by an
+    integer day number so both engines share exact frame semantics.
+
+    Scale shape: the corpus-sized shuffle is the (node_id, day) groupBy;
+    the range window runs over the tiny (nodes × days) aggregate,
+    partitioned by node_id."""
+    daily = (
+        routed.filter(
+            (F.col("sink") != "dlq")
+            & F.col("node_id").isNotNull()
+            & (F.col("event") == "read")
+        )
+        .groupBy("node_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_reads"))
+        .withColumn(
+            "day_num",
+            F.datediff(
+                F.col("day").cast("date"), F.lit(ROLLING_EPOCH).cast("date")
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("node_id")
+        .orderBy("day_num")
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        "node_id",
+        "day",
+        "n_reads",
+        F.sum("n_reads").over(w).alias(f"n_reads_{window_days}d"),
+    )
+
+
+def rolling_node_reads_sql(window_days: int = 7) -> str:
+    """Twin over the routed CTE ``r``."""
+    back = window_days - 1
+    return f"""
+daily AS (
+  SELECT node_id, date_trunc('day', ts) AS day,
+         cast(count(*) AS bigint) AS n_reads,
+         date_diff('day', DATE '{ROLLING_EPOCH}',
+                   cast(date_trunc('day', ts) AS date)) AS day_num
+  FROM r
+  WHERE sink <> 'dlq' AND node_id IS NOT NULL AND event = 'read'
+  GROUP BY node_id, date_trunc('day', ts)
+)
+SELECT node_id, day, n_reads,
+       cast(sum(n_reads) OVER (
+         PARTITION BY node_id ORDER BY day_num
+         RANGE BETWEEN {back} PRECEDING AND CURRENT ROW
+       ) AS bigint) AS n_reads_{window_days}d
+FROM daily
+"""
+
+
 def approx_distinct_subjects(
     routed: DataFrame, rsd: float = 0.02
 ) -> DataFrame:

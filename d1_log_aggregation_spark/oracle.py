@@ -275,6 +275,12 @@ def _conv_funnel_sql() -> str:
     return conv_funnel_sql()
 
 
+def _rolling_node_reads_sql() -> str:
+    from .operators.analytics import rolling_node_reads_sql
+
+    return rolling_node_reads_sql()
+
+
 def enrich_asof_sql() -> str:
     """As-of enrich twin: DuckDB's native ASOF LEFT JOIN against the
     versioned registry (operators/asof.py implements the Spark side with
@@ -375,6 +381,8 @@ ORDER BY conv_id""",
         "sink_role_rollup": base + _sink_role_rollup_sql(),
         "role_event_pivot": base + _role_event_pivot_sql(),
         "conv_funnel": base + ",\n" + _conv_funnel_sql(),
+        # per-node trailing 7-day RANGE-frame read counts
+        "rolling_node_reads": base + ",\n" + _rolling_node_reads_sql(),
         # temporal as-of enrich: latest versioned-registry row with
         # valid_from ≤ event ts (operators/asof.py; DuckDB native ASOF)
         "enrich_asof": enrich_asof_sql(),

@@ -94,3 +94,50 @@ def test_approx_distinct_within_tolerance(spark):
         assert exact > 0
         rel_err = abs(r["approx_subjects"] - exact) / exact
         assert rel_err < 0.05, (r["sink"], r["approx_subjects"], exact)
+
+
+def test_rolling_range_frame_respects_calendar_gaps(spark):
+    """RANGE frame windows over the CALENDAR: a read 10 days earlier must
+    NOT enter the 7-day trailing sum even when it is the immediately
+    preceding ROW for that node."""
+    rows = [
+        ("c1", 0, "s", "user", "read", "u", False, TS(2024, 1, 1)),
+        ("c1", 1, "s", "user", "read", "u", False, TS(2024, 1, 1, 5)),
+        ("c1", 2, "s", "user", "read", "u", False, TS(2024, 1, 11)),
+        ("c1", 3, "s", "user", "read", "u", False, TS(2024, 1, 14)),
+    ]
+    df = spark.createDataFrame(rows, _COLS).withColumn(
+        "node_id", F.lit("n1")
+    )
+    from d1_log_aggregation_spark.operators.analytics import (
+        rolling_node_reads,
+    )
+
+    out = {
+        r["day"].day: r["n_reads_7d"]
+        for r in rolling_node_reads(df).collect()
+    }
+    # Jan 1 has two reads; Jan 11 is >7d later → only itself;
+    # Jan 14 sees Jan 11 (3 days back) but not Jan 1
+    assert out == {1: 2, 11: 1, 14: 2}
+
+
+def test_merge_pair_counts_per_occurrence(spark):
+    """BPE merge counting weights by OCCURRENCE (not per-doc distinct),
+    and single-token docs contribute no pairs."""
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        merge_pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    out = {
+        r["pair"]: (r["n_occurrences"], r["rank"])
+        for r in merge_pair_counts(docs, k=10).collect()
+    }
+    # "a b a b" → pairs: a b, b a, a b → "a b"×2; plus doc 2 → ×3
+    assert out["a b"] == (3, 1)
+    assert out["b a"] == (1, 2)
+    assert "solo" not in " ".join(out)

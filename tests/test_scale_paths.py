@@ -132,3 +132,30 @@ def test_salting_is_semantics_neutral(spark):
     cols = ["event_id", "sink", "is_repeat_visit", "in_full_robot_list"]
     rows = lambda df: sorted(tuple(r) for r in df.select(*cols).collect())  # noqa: E731
     assert rows(base) == rows(salted)
+
+
+def test_pipeline_correct_without_broadcast_joins(spark):
+    """Big-dim fallback: with autoBroadcastJoinThreshold=-1 every enrich
+    join falls back to shuffled joins (the path a 100 TB sysmeta dim
+    takes) — the routed output must be identical to the broadcast plan's.
+    The explicit F.broadcast() hints still apply to the tiny dims; this
+    disables Catalyst's automatic broadcasts everywhere else, so the test
+    proves no stage silently DEPENDS on auto-broadcast for correctness."""
+    from d1_log_aggregation_spark.pipeline import run_from_dir
+
+    cols = ["event_id", "sink", "node_id", "format_id", "is_repeat_visit"]
+
+    def run():
+        out = run_from_dir(spark, SF, _cfg())
+        return sorted(
+            out.select(*cols).collect(), key=lambda r: r["event_id"]
+        )
+
+    base = run()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_bcast = run()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert base == no_bcast

@@ -33,6 +33,15 @@ TARGETS = [
     "scrub_text",
     "session_stats",
     "dedup_against",
+    "enrich_asof",
+    "sink_role_rollup",
+    "role_event_pivot",
+    "conv_funnel",
+    "token_quantiles",
+    "corpus_deduped_lsh",
+    "merge_pair_counts",
+    "rolling_node_reads",
+    "approx_distinct_subjects",
 ]
 
 PATTERNS = {
