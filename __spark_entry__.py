@@ -472,6 +472,10 @@ def _q_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.merge_pair_counts(_docs(spark, sf_dir), k=50)
 
 
+def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_text.mixture_weights(_docs(spark, sf_dir))
+
+
 def _q_rolling_node_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d1_log_aggregation_spark.operators.analytics import (
         rolling_node_reads,
@@ -611,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": _q_token_quantiles,
         "corpus_deduped_lsh": _q_corpus_deduped_lsh,
         "merge_pair_counts": _q_merge_pair_counts,
+        "mixture_weights": _q_mixture_weights,
         "rolling_node_reads": _q_rolling_node_reads,
     }
 
@@ -664,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
             "token_quantiles": dp_text.token_quantiles_sql(),
             "corpus_deduped_lsh": dp_oracle.corpus_deduped_lsh_sql(0.5),
             "merge_pair_counts": dp_text.merge_pair_counts_sql(k=50),
+            "mixture_weights": dp_text.mixture_weights_sql(),
         }
     )
     return out

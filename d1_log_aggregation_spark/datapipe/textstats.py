@@ -504,3 +504,90 @@ SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
 FROM tf JOIN dfreq ON tf.token = dfreq.token
 QUALIFY rank <= {k}
 """
+
+
+MIX_SQRT_SCALE = 1000  # sqrt fixed-point scale (3 decimal digits)
+MIX_PPM = 1_000_000
+
+
+def mixture_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget_tokens: int = 10_000_000,
+) -> DataFrame:
+    """(lang_id, n_docs, n_tokens, sqrt_scaled, weight_ppm, alloc_tokens):
+    temperature-based sampling weights per language — the corpus-mixing
+    step of a pretraining pipeline (upsample tail languages, downsample
+    the head; multilingual-LM "temperature sampling", T = 0.5).
+
+    T is FIXED at 0.5 because sqrt is the one power IEEE 754 requires to
+    be correctly rounded — both engines produce the bit-identical double
+    for the same bigint token count, so ``floor(sqrt(n)·1000)`` is
+    cross-engine exact.  From there everything is int64: the normalizer
+    is an integer sum (order-independent, unlike a double sum) and the
+    weights/allocations use integer division.  A general-T variant would
+    need ``pow``, whose last-ulp differences across libms break
+    value-hash reproducibility — the same reason token_quantiles is exact
+    instead of t-digest.
+
+    Plan shape: one corpus shuffle (groupBy lang_id); the normalizing
+    window runs over the #languages-sized aggregate, a single tiny
+    partition by construction."""
+    stats = with_lang_id(with_textstats(docs, text_col), text_col)
+    grp = stats.groupBy("lang_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("n_tokens"),
+    )
+    scaled = grp.withColumn(
+        "sqrt_scaled",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * MIX_SQRT_SCALE
+        ).cast("long"),
+    )
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    scaled = scaled.withColumn("_total", F.sum("sqrt_scaled").over(tot_w))
+    weight = F.expr(f"sqrt_scaled * {MIX_PPM} div _total")
+    return scaled.select(
+        "lang_id",
+        "n_docs",
+        "n_tokens",
+        "sqrt_scaled",
+        weight.alias("weight_ppm"),
+        F.expr(
+            f"(sqrt_scaled * {MIX_PPM} div _total)"
+            f" * {budget_tokens} div {MIX_PPM}"
+        ).alias("alloc_tokens"),
+    )
+
+
+def mixture_weights_sql(
+    src: str = "documents",
+    text_col: str = "text",
+    budget_tokens: int = 10_000_000,
+) -> str:
+    ts = textstats_sql(text_col)
+    return f"""
+WITH st AS (
+  SELECT {ts['n_bpe_tokens']} AS n_bpe_tokens,
+         {lang_id_sql(text_col)} AS lang_id
+  FROM {src}
+),
+grp AS (
+  SELECT lang_id, cast(count(*) AS bigint) AS n_docs,
+         cast(sum(n_bpe_tokens) AS bigint) AS n_tokens
+  FROM st GROUP BY lang_id
+),
+sc AS (
+  SELECT *, cast(floor(sqrt(cast(n_tokens AS double)) * {MIX_SQRT_SCALE})
+                 AS bigint) AS sqrt_scaled
+  FROM grp
+)
+SELECT lang_id, n_docs, n_tokens, sqrt_scaled,
+       cast(sqrt_scaled * {MIX_PPM} // sum(sqrt_scaled) OVER ()
+            AS bigint) AS weight_ppm,
+       cast((sqrt_scaled * {MIX_PPM} // sum(sqrt_scaled) OVER ())
+            * {budget_tokens} // {MIX_PPM} AS bigint) AS alloc_tokens
+FROM sc
+"""

@@ -141,3 +141,31 @@ def test_merge_pair_counts_per_occurrence(spark):
     assert out["a b"] == (3, 1)
     assert out["b a"] == (1, 2)
     assert "solo" not in " ".join(out)
+
+
+def test_mixture_weights_sqrt_proportional(spark):
+    """T=0.5 mixing: a language with 4x the tokens gets ~2x the weight
+    (sqrt law), weights sum to <= 1e6 ppm (floor division), and the
+    allocation respects the budget."""
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        mixture_weights,
+    )
+
+    # 'the and of is' fires en markers; 'der und nicht ist' fires de.
+    en_doc = " ".join(["the and of is that with"] * 4)  # 24 tokens
+    de_doc = "der und nicht ist aa bb"  # 6 tokens (4x fewer)
+    docs = spark.createDataFrame(
+        [(1, en_doc), (2, de_doc)], "doc_id int, text string"
+    )
+    rows = {
+        r["lang_id"]: r
+        for r in mixture_weights(docs, budget_tokens=1_000_000).collect()
+    }
+    assert set(rows) == {"en", "de"}
+    assert rows["en"]["n_tokens"] == 4 * rows["de"]["n_tokens"]
+    # sqrt law: exactly 2x the scaled sqrt, ~2x the ppm weight
+    assert rows["en"]["sqrt_scaled"] == 2 * rows["de"]["sqrt_scaled"]
+    total_ppm = sum(r["weight_ppm"] for r in rows.values())
+    assert 1_000_000 - 2 <= total_ppm <= 1_000_000
+    assert sum(r["alloc_tokens"] for r in rows.values()) <= 1_000_000
+    assert rows["en"]["weight_ppm"] == 666666

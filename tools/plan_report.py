@@ -40,6 +40,7 @@ TARGETS = [
     "token_quantiles",
     "corpus_deduped_lsh",
     "merge_pair_counts",
+    "mixture_weights",
     "rolling_node_reads",
     "approx_distinct_subjects",
 ]
