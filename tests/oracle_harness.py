@@ -87,7 +87,16 @@ def run_gate(sf_dir: str, spark, only: list[str] | None = None) -> dict:
         if only and name not in only:
             continue
         if name not in osql:
-            results[name] = ["(rows-only)"]
+            # rows-only: no value oracle, but the Spark query must still
+            # EXECUTE (a crash here must fail the gate, not pass it)
+            try:
+                out = fn(spark, sf_dir)
+                n = out.count()
+                _ = out.schema
+            except Exception as exc:  # noqa: BLE001
+                results[name] = [f"spark error: {exc}"]
+                continue
+            results[name] = [f"(rows-only: {n} rows)"]
             continue
         try:
             duck_df = con.execute(osql[name]).df()

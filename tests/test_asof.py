@@ -111,6 +111,31 @@ def test_asof_strategies_agree_on_sf(spark):
     assert versions_seen == {None, 1, 2, 3}
 
 
+def test_versioned_registry_boundaries_straddle_events(spark):
+    """ADVICE r2: the versioned-registry snapshot boundaries are pinned
+    timestamps tied to the synthetic 2024-01 event window.  If testdata's
+    event span ever drifts past them the as-of gate silently degenerates
+    (every event sees v3, or misses every version) — so assert events
+    exist strictly BEFORE and AFTER each mid-window boundary."""
+    ev = parse_events(dedup_turns(load_transcripts(spark, SF_TINY)))
+    bounds = [
+        r["valid_from"]
+        for r in dims.versioned_registry_df(spark, SF_TINY)
+        .select("valid_from")
+        .distinct()
+        .collect()
+    ]
+    assert len(bounds) == 3
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    # v1 predates the window entirely; v2/v3 must split it
+    mid = sorted(bounds)[1:]
+    for b in mid:
+        assert lo < b < hi, (
+            f"boundary {b} outside event span [{lo}, {hi}] — "
+            "VERSIONED_REGISTRY_TEMPLATE needs re-pinning to the testdata"
+        )
+
+
 def test_asof_broadcast_plan_has_no_extra_shuffle(spark):
     """The broadcast strategy adds ZERO exchanges beyond the input's own:
     dim packing aggregates the tiny version table; the probe side is one

