@@ -318,8 +318,33 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.minhash_lsh_pairs(load_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _scratch_detached(spark: SparkSession, build) -> DataFrame:
+    """Run ``build(scratch_dir)`` with a temp scratch dir, collect the
+    (small) result, and detach it from the scratch files so the dir can
+    be removed — repeated gate runs must not leak materialized indexes."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="gate_dedup_scratch_")
+    try:
+        out = build(d)
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_corpus_deduped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dp_dedup.corpus_deduped(load_corpus(spark, sf_dir), threshold=0.5)
+    """Greedy-survivorship materializer on its PRODUCTION path: shingle
+    index + loser set written to (scratch) parquet, zero lineage persists
+    (datapipe/dedup.py corpus_deduped scratch_dir)."""
+    return _scratch_detached(
+        spark,
+        lambda d: dp_dedup.corpus_deduped(
+            load_corpus(spark, sf_dir), threshold=0.5, scratch_dir=d
+        ),
+    )
 
 
 def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,6 +382,13 @@ def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_ann.ivf_topk(_embs(spark, sf_dir))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the second bucketed variant next to IVF):
+    sign-sketch bands as hash buckets, exact-cosine rank of bucket
+    candidates."""
+    return dp_ann.lsh_topk(_embs(spark, sf_dir))
 
 
 def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,9 +516,34 @@ def _q_rolling_node_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_node_reads(_routed(spark, sf_dir))
 
 
+def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import (
+        event_transitions,
+    )
+
+    return event_transitions(_routed(spark, sf_dir))
+
+
+def _q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_text.rare_token_stats(_docs(spark, sf_dir))
+
+
+def _q_turn_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import (
+        turn_gap_quantiles,
+    )
+
+    return turn_gap_quantiles(_routed(spark, sf_dir))
+
+
 def _q_corpus_deduped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dp_dedup.corpus_deduped_lsh(
-        load_corpus(spark, sf_dir), threshold=0.5
+    """LSH materializer on its PRODUCTION path (materialized shingle
+    index + banded signatures + losers, zero lineage persists)."""
+    return _scratch_detached(
+        spark,
+        lambda d: dp_dedup.corpus_deduped_lsh(
+            load_corpus(spark, sf_dir), threshold=0.5, scratch_dir=d
+        ),
     )
 
 
@@ -589,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_bruteforce_topk": _q_ann_brute,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_lsh_topk": _q_ann_lsh,
         "embedding_neardup_bruteforce": _q_embedding_neardup_brute,
         "embedding_neardup_pairs": _q_embedding_neardup,
         "multimodal_features": _q_multimodal,
@@ -617,6 +675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_pair_counts": _q_merge_pair_counts,
         "mixture_weights": _q_mixture_weights,
         "rolling_node_reads": _q_rolling_node_reads,
+        "event_transitions": _q_event_transitions,
+        "rare_token_stats": _q_rare_token_stats,
+        "turn_gap_quantiles": _q_turn_gap_quantiles,
     }
 
 
@@ -636,6 +697,7 @@ def oracle_sql() -> dict[str, str]:
             "simhash_pairs": dp_oracle.simhash_pairs_sql(3),
             "ann_bruteforce_topk": dp_oracle.brute_force_topk_sql(),
             "ann_ivf_topk": dp_oracle.ivf_topk_sql(),
+            "ann_lsh_topk": dp_oracle.lsh_topk_sql(),
             "embedding_neardup_bruteforce":
                 dp_oracle.embedding_neardup_bruteforce_sql(0.9, sample_mod=5),
             "embedding_neardup_pairs":
@@ -670,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_deduped_lsh": dp_oracle.corpus_deduped_lsh_sql(0.5),
             "merge_pair_counts": dp_text.merge_pair_counts_sql(k=50),
             "mixture_weights": dp_text.mixture_weights_sql(),
+            "rare_token_stats": dp_text.rare_token_stats_sql(),
         }
     )
     return out

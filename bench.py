@@ -164,6 +164,11 @@ def run_datapipe(spark) -> dict:
     out = {}
     jobs = {
         "dedup_corpus_deduped": lambda: dedup.corpus_deduped(corpus),
+        # production path: shingle index + banded sigs + losers written
+        # to parquet (timed — the index write IS the production cost)
+        "dedup_corpus_deduped_lsh": lambda: dedup.corpus_deduped_lsh(
+            corpus, scratch_dir="/tmp/bench_lsh_scratch"
+        ),
         "dedup_minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(corpus),
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(corpus),
         "ann_ivf_topk": lambda: ann.ivf_topk(embs),
@@ -184,6 +189,40 @@ def run_datapipe(spark) -> dict:
         # each call persists its own internal caches (shingle index, band
         # tables); drop them so later jobs are not timed under the
         # eviction pressure of earlier jobs' dead caches
+        spark.catalog.clearCache()
+    return out
+
+
+def run_round_ops(spark) -> dict:
+    """Timed rows for the operator families the r2/r3 rounds added
+    (VERDICT r2 item 9): funnel, exact token quantiles, as-of enrich,
+    sessionization — so later rounds can see regressions on them.
+    conv_funnel/token_quantiles read the already-written routed/docs
+    tables; enrich_asof/session_stats run from the parse stage (their
+    production shape includes the parse)."""
+    import __spark_entry__ as entry
+    from d1_log_aggregation_spark.datapipe import textstats as dp_text
+    from d1_log_aggregation_spark.operators.analytics import conv_funnel
+
+    routed = spark.read.parquet("/tmp/bench_routed.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    jobs = {
+        "conv_funnel": lambda: conv_funnel(routed),
+        "token_quantiles": lambda: dp_text.token_quantiles(docs),
+        "enrich_asof": lambda: entry._q_enrich_asof(spark, SF_DIR),
+        "session_stats": lambda: entry._q_session_stats(spark, SF_DIR),
+    }
+    out = {}
+    for name, fn in jobs.items():
+        for _ in range(2):
+            _mat(fn())
+        best = None
+        for _ in range(2):
+            t = time.monotonic()
+            _mat(fn())
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
         spark.catalog.clearCache()
     return out
 
@@ -515,6 +554,7 @@ def main() -> None:
     spark = get_spark(app_name="bench-datapipe", master=master,
                       shuffle_partitions=shuffle)
     queries.update(run_datapipe(spark))
+    queries.update(run_round_ops(spark))
     spark.stop()
 
     sf1 = {}

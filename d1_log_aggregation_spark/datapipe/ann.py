@@ -249,6 +249,95 @@ def assign_centroids(
     )
 
 
+def lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 64,
+    band_bits: int = 8,
+) -> DataFrame:
+    """LSH-bucketed ANN — the second bucketed variant next to ``ivf_topk``
+    (the mission's "IVF or LSH-bucketed" scale path, both implemented):
+    sign-sketch every vector (random-hyperplane LSH, the vectors.py
+    machinery), band the sketch, and search a query's candidates = the
+    vectors sharing at least one band bucket with it.  Candidates are
+    ranked by EXACT quantized cosine (tiebreak neighbor_id asc), top-k.
+
+    vs IVF: no training pass, and candidate quality degrades gracefully —
+    a query probes ``n_bands`` hash buckets instead of ``nprobe`` trained
+    cells.  Recall < 1.0 by construction (a true neighbor can differ in
+    every band); both engines miss IDENTICALLY because the hyperplane
+    signs are md5-derived literals inlined into both plans.
+
+    Scale shape: the corpus side is one sketch pass (Arrow matmul) + one
+    explode to (vec_id, band_key); the query side is tiny and BROADCAST,
+    so candidate generation is a broadcast hash join on band_key — no
+    corpus self-join, no shuffle beyond the final per-query top-k window
+    over the candidate set.  At 100 TB widen band_bits with log2(N) (the
+    sketch_words_udf_col tuning rule) so bucket sizes stay bounded."""
+    from .vectors import sketch_words_udf_col
+
+    assert 64 % band_bits == 0 and n_planes % band_bits == 0
+    n_bands = n_planes // band_bits
+    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    sk = base.withColumn(
+        "sketch", sketch_words_udf_col(F.col("qvec"), n_planes)
+    )
+    mask = (1 << band_bits) - 1
+    keys = []
+    for i in range(n_bands):
+        word = (i * band_bits) // 64
+        shift = (i * band_bits) % 64
+        keys.append(
+            F.concat_ws(
+                "_",
+                F.lit(str(i)),
+                F.shiftright(F.element_at("sketch", word + 1), shift)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+        )
+    banded = sk.select(
+        "vec_id", F.explode(F.array(*keys)).alias("band_key")
+    )
+    qb = (
+        banded.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), "band_key")
+        .distinct()
+    )
+    cands = (
+        banded.join(F.broadcast(qb), "band_key")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qv_q"),
+        F.col("qnorm2").alias("qn_a"),
+    )
+    scored = (
+        cands.join(base, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            qdot_pairs(F.col("qv_q"), F.col("qvec")).alias("qd"),
+            "qn_a",
+            F.col("qnorm2").alias("qn_b"),
+        )
+        .withColumn("cosine", F.round(cosine_col(), 9))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     n_queries: int = 8,

@@ -342,6 +342,60 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def lsh_topk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 64,
+    band_bits: int = 8,
+) -> str:
+    """Twin of ann.lsh_topk: the sketch CTEs run over ``vbase2`` (aliased
+    to the plain embeddings base here — no dup-planted corpus for ANN),
+    bands via the same shift/mask, candidates = corpus ⨝ query bands,
+    exact-cosine rank."""
+    from . import vectors as V
+
+    mask = (1 << band_bits) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, '{i}' || '_' ||"
+        f" cast((sketch[{(i * band_bits) // 64 + 1}]"
+        f" >> {(i * band_bits) % 64}) & {mask} AS string) AS band_key"
+        f" FROM sk"
+        for i in range(n_planes // band_bits)
+    )
+    return f"""
+WITH {_ann_base()},
+vbase2 AS (SELECT * FROM base2),
+{V.sketch_ctes_sql(n_planes=n_planes)},
+banded AS ({bands}),
+qb AS (
+  SELECT DISTINCT vec_id AS query_id, band_key
+  FROM banded WHERE vec_id < {n_queries}
+),
+cands AS (
+  SELECT DISTINCT q.query_id, b.vec_id
+  FROM banded b JOIN qb q
+    ON b.band_key = q.band_key AND b.vec_id <> q.query_id
+),
+q AS (
+  SELECT vec_id AS query_id, qvec AS qv_q, qnorm2 AS qn_a
+  FROM base2 WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         {_vcos('q.qn_a', 'b.qnorm2', 'q.qv_q', 'b.qvec')} AS cosine
+  FROM cands c
+  JOIN base2 b ON b.vec_id = c.vec_id
+  JOIN q ON c.query_id = q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
 def _kmeans_ctes(n_centroids: int, n_iters: int) -> str:
     """Unrolled integer k-means iterations (twin of ann.kmeans_centroids):
     cents_0 = first C vectors; each round assigns by quantized cosine and
@@ -589,21 +643,54 @@ FROM stats GROUP BY lang_id ORDER BY lang_id
 
 
 def multimodal_features_sql(n_feat: int = 8) -> str:
+    """Twin of multimodal.extract_features over the synthetic container
+    format: 4-byte header + (1 + doc_id%3) repeats of unhex(md5(norm)),
+    every byte reconstructed from hex — header fields, pixel stats,
+    first-byte features, and the per-channel 4-bin histograms."""
     norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
     feats = ",\n  ".join(
-        f"try_cast(('0x' || substr(payload_hex, {2 * i + 1}, 2)) AS int)"
+        f"try_cast(('0x' || substr(b.payload_hex, {2 * i + 1}, 2)) AS int)"
         f" / 255.0 AS feat_{i}"
         for i in range(n_feat)
+    )
+    hists = ",\n         ".join(
+        f"cast(sum(CASE WHEN i % 3 = {c} AND v // 64 = {b_} THEN 1 "
+        f"ELSE 0 END) AS bigint) AS hist_c{c}_b{b_}"
+        for c in range(3)
+        for b_ in range(4)
     )
     return f"""
 WITH b AS (
   SELECT doc_id,
-         md5({norm}) AS payload_hex,
+         repeat(md5({norm}), 1 + doc_id % 3) AS payload_hex,
          cast(n_chars % 64 + 1 AS int) AS width,
-         cast(doc_id % 48 + 1 AS int) AS height
+         cast(doc_id % 48 + 1 AS int) AS height,
+         cast(1 + doc_id % 3 AS int) AS reps
   FROM documents
+),
+px0 AS (
+  SELECT doc_id, payload_hex, unnest(range(0, reps * 16)) AS i FROM b
+),
+px AS (
+  SELECT doc_id, i,
+         try_cast(('0x' || substr(payload_hex, 2 * i + 1, 2))
+                  AS bigint) AS v
+  FROM px0
+),
+agg AS (
+  SELECT doc_id,
+         cast(count(*) AS bigint) AS n_pix_bytes,
+         avg(v) AS pix_mean,
+         cast(min(v) AS int) AS pix_min,
+         cast(max(v) AS int) AS pix_max,
+         {hists}
+  FROM px GROUP BY doc_id
 )
-SELECT doc_id, width, height, {feats} FROM b
+SELECT b.doc_id, b.width, b.height, cast(3 AS int) AS channels,
+       agg.n_pix_bytes, agg.pix_mean, agg.pix_min, agg.pix_max,
+  {feats},
+  {", ".join(f"agg.hist_c{c}_b{b_}" for c in range(3) for b_ in range(4))}
+FROM b JOIN agg USING (doc_id)
 """
 
 

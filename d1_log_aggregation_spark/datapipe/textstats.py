@@ -373,6 +373,43 @@ QUALIFY rank <= {k}
 QUANTILE_PCTS = [50, 90, 99]
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    pcts: list[int] | None = None,
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Generic TWO-PASS exact grouped quantiles — the scale-safe plan
+    shape token_quantiles pioneered, factored out for reuse (inter-turn
+    gaps, latency profiles, any integer metric): pass 1 is a map-side-
+    combining groupBy (group, value) — the only input-sized shuffle;
+    pass 2 windows over the DISTINCT-VALUE relation for the cumulative
+    count and picks min{v : cum(v) ≥ ceil(p·n/100)} — exactly the rank-r
+    order statistic, never a group-sized sort task.  Integer-only rank
+    arithmetic: both engines agree bit-for-bit."""
+    pcts = pcts or QUANTILE_PCTS
+    vc = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = vc.select(
+        group_col,
+        value_col,
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(group_col)).alias("cnt"),
+    )
+    aggs = [F.max("cnt").alias(count_alias)]
+    for p in pcts:
+        target = F.floor((F.lit(p) * F.col("cnt") + 99) / 100)
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= target, F.col(value_col))
+            ).alias(f"p{p}")
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
 def token_quantiles(
     docs: DataFrame, text_col: str = "text", pcts: list[int] | None = None
 ) -> DataFrame:
@@ -399,25 +436,9 @@ def token_quantiles(
     row_number() formulation — independent derivation, same answer."""
     pcts = pcts or QUANTILE_PCTS
     stats = with_lang_id(with_textstats(docs, text_col), text_col)
-    vc = stats.groupBy("lang_id", "n_bpe_tokens").agg(
-        F.count(F.lit(1)).alias("c")
+    return grouped_exact_quantiles(
+        stats, "lang_id", "n_bpe_tokens", pcts, count_alias="n_docs"
     )
-    w = Window.partitionBy("lang_id").orderBy("n_bpe_tokens")
-    cum = vc.select(
-        "lang_id",
-        "n_bpe_tokens",
-        F.sum("c").over(w).alias("cum"),
-        F.sum("c").over(Window.partitionBy("lang_id")).alias("cnt"),
-    )
-    aggs = [F.max("cnt").alias("n_docs")]
-    for p in pcts:
-        target = F.floor((F.lit(p) * F.col("cnt") + 99) / 100)
-        aggs.append(
-            F.min(
-                F.when(F.col("cum") >= target, F.col("n_bpe_tokens"))
-            ).alias(f"p{p}")
-        )
-    return cum.groupBy("lang_id").agg(*aggs)
 
 
 def token_quantiles_sql(
@@ -597,4 +618,76 @@ SELECT lang_id, n_docs, n_tokens, sqrt_scaled,
        cast((sqrt_scaled * {MIX_PPM} // sum(sqrt_scaled) OVER ())
             * {budget_tokens} // {MIX_PPM} AS bigint) AS alloc_tokens
 FROM sc
+"""
+
+
+RARE_MIN_DF = 3
+
+
+def rare_token_stats(
+    docs: DataFrame, text_col: str = "text", min_df: int = RARE_MIN_DF
+) -> DataFrame:
+    """(doc_id, n_distinct_tokens, n_rare, rare_ratio): per-document
+    count of DISTINCT tokens whose corpus document frequency is below
+    ``min_df`` — the rare-token/OOV novelty signal quality filters use
+    (a doc dominated by corpus-rare tokens is boilerplate noise, OCR
+    garbage, or another language than its neighbors).  Integer counts +
+    one final division, so both engines agree exactly.
+
+    Two-pass plan (same family as token_quantiles): pass 1 explodes
+    distinct tokens per doc and aggregates document frequency — the
+    vocabulary-sized relation; pass 2 joins tokens back to their df on
+    the token key (vocabulary is not broadcast-safe at corpus scale, so
+    this is a plain hash join on a high-cardinality key) and aggregates
+    per doc_id.  No corpus-sized window, no collect."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(_norm_ws(F.col(text_col)), " "),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("token"),
+    )
+    df_rel = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        toks.join(df_rel, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.sum((F.col("df") < min_df).cast("long")).alias("n_rare"),
+        )
+        .withColumn(
+            "rare_ratio", F.col("n_rare") / F.col("n_distinct_tokens")
+        )
+    )
+
+
+def rare_token_stats_sql(
+    src: str = "documents", text_col: str = "text",
+    min_df: int = RARE_MIN_DF,
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split({norm}, ' ')) AS token
+  FROM {src}
+),
+tokf AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dfr AS (
+  SELECT token, cast(count(*) AS bigint) AS df FROM tokf GROUP BY token
+)
+SELECT t.doc_id,
+       cast(count(*) AS bigint) AS n_distinct_tokens,
+       cast(sum(CASE WHEN d.df < {min_df} THEN 1 ELSE 0 END) AS bigint)
+         AS n_rare,
+       sum(CASE WHEN d.df < {min_df} THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS rare_ratio
+FROM tokf t JOIN dfr d ON t.token = d.token
+GROUP BY t.doc_id
 """

@@ -322,6 +322,120 @@ FROM daily
 """
 
 
+def event_transitions(routed: DataFrame) -> DataFrame:
+    """(event_from, event_to, n_transitions): first-order Markov
+    transition counts over consecutive non-DLQ events within each
+    conversation, ordered by (ts, turn_idx) — the sequence model a
+    usage-analytics consumer fits over the event stream (which actions
+    follow which), and the input to anomaly scoring on improbable
+    transitions.
+
+    Plan: one shuffle + sort on high-cardinality conv_id for the lead()
+    window (same shuffle class as sessionization/funnel — per-conv order
+    is inherently sort-based), then an event-vocabulary-sized aggregate.
+    Deterministic: (ts, turn_idx) is unique within a conversation
+    post-dedup, so lead() is well-defined."""
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    seq = routed.filter(F.col("sink") != "dlq").select(
+        "conv_id", "ts", "turn_idx", "event"
+    )
+    nxt = seq.withColumn("event_to", F.lead("event").over(w)).filter(
+        F.col("event_to").isNotNull()
+    )
+    return nxt.groupBy(
+        F.col("event").alias("event_from"), "event_to"
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
+def event_transitions_sql() -> str:
+    """Twin over the routed CTE ``r``."""
+    return """
+seqs AS (
+  SELECT conv_id, event,
+         lead(event) OVER (
+           PARTITION BY conv_id ORDER BY ts, turn_idx
+         ) AS event_to
+  FROM r WHERE sink <> 'dlq'
+)
+SELECT event AS event_from, event_to,
+       cast(count(*) AS bigint) AS n_transitions
+FROM seqs WHERE event_to IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+GAP_PCTS = [50, 90, 99]
+
+
+def turn_gap_quantiles(
+    routed: DataFrame, pcts: list[int] | None = None
+) -> DataFrame:
+    """(role, n_gaps, p50, p90, p99): EXACT quantiles of the inter-turn
+    gap (microseconds between an event and the previous event of the same
+    conversation), grouped by the later event's role — the turn-latency
+    profile an agent-transcript pipeline reports per role.
+
+    Plan: one conv_id shuffle + sort for the lag() window, then the
+    generic TWO-PASS exact-rank quantile (textstats.
+    grouped_exact_quantiles) — a (role, gap) value-count aggregate plus a
+    window over the distinct-value relation; never a role-sized sort
+    task (roles are few: the naive per-role window would put the whole
+    corpus in a handful of tasks)."""
+    from ..datapipe.textstats import grouped_exact_quantiles
+
+    pcts = pcts or GAP_PCTS
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+    gaps = (
+        routed.filter(F.col("sink") != "dlq")
+        .select(
+            "conv_id", "role", "ts", "turn_idx",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.lag(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                ).over(w)
+            ).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .select("role", "gap_us")
+    )
+    return grouped_exact_quantiles(
+        gaps, "role", "gap_us", pcts, count_alias="n_gaps"
+    )
+
+
+def turn_gap_quantiles_sql(pcts: list[int] | None = None) -> str:
+    """Twin over the routed CTE ``r`` — deliberately the row_number()
+    rank formulation (independent derivation of the same order
+    statistic; the Spark side is the cumulative-count form)."""
+    pcts = pcts or GAP_PCTS
+    sel = ",\n       ".join(
+        f"max(CASE WHEN rn = cast(floor(({p} * cnt + 99) / 100)"
+        f" AS bigint) THEN gap_us END) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+gaps AS (
+  SELECT role,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY conv_id ORDER BY ts, turn_idx
+         ) AS gap_us
+  FROM r WHERE sink <> 'dlq'
+),
+g AS (SELECT role, gap_us FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT role, gap_us,
+         cast(row_number() OVER (
+           PARTITION BY role ORDER BY gap_us) AS bigint) AS rn,
+         cast(count(*) OVER (PARTITION BY role) AS bigint) AS cnt
+  FROM g
+)
+SELECT role, max(cnt) AS n_gaps,
+       {sel}
+FROM ranked GROUP BY role
+"""
+
+
 def approx_distinct_subjects(
     routed: DataFrame, rsd: float = 0.02
 ) -> DataFrame:

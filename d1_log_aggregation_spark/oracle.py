@@ -281,6 +281,18 @@ def _rolling_node_reads_sql() -> str:
     return rolling_node_reads_sql()
 
 
+def _event_transitions_sql() -> str:
+    from .operators.analytics import event_transitions_sql
+
+    return event_transitions_sql()
+
+
+def _turn_gap_quantiles_sql() -> str:
+    from .operators.analytics import turn_gap_quantiles_sql
+
+    return turn_gap_quantiles_sql()
+
+
 def enrich_asof_sql() -> str:
     """As-of enrich twin: DuckDB's native ASOF LEFT JOIN against the
     versioned registry (operators/asof.py implements the Spark side with
@@ -383,6 +395,10 @@ ORDER BY conv_id""",
         "conv_funnel": base + ",\n" + _conv_funnel_sql(),
         # per-node trailing 7-day RANGE-frame read counts
         "rolling_node_reads": base + ",\n" + _rolling_node_reads_sql(),
+        # first-order Markov transition counts between consecutive events
+        "event_transitions": base + ",\n" + _event_transitions_sql(),
+        # per-role inter-turn gap quantiles (two-pass exact rank)
+        "turn_gap_quantiles": base + ",\n" + _turn_gap_quantiles_sql(),
         # temporal as-of enrich: latest versioned-registry row with
         # valid_from ≤ event ts (operators/asof.py; DuckDB native ASOF)
         "enrich_asof": enrich_asof_sql(),

@@ -197,11 +197,22 @@ def test_embedding_neardup_planted_pairs(spark):
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     media = multimodal.with_payload(docs)
-    row = media.first()
-    assert isinstance(row["payload"], bytes) and len(row["payload"]) == 16
+    for row in media.orderBy("doc_id").take(5):
+        assert isinstance(row["payload"], bytes)
+        # container format: 4-byte header + (1 + doc_id%3) md5 blocks
+        assert len(row["payload"]) == 4 + 16 * (1 + row["doc_id"] % 3)
+        assert row["payload"][0] == multimodal.MAGIC
     feats = multimodal.multimodal_features(docs)
-    out = feats.filter(F.col("doc_id") == 0).collect()[0]
+    out = feats.filter(F.col("doc_id") == 1).collect()[0]
     assert 0.0 <= out["feat_0"] <= 1.0
+    assert out["channels"] == 3
+    assert out["n_pix_bytes"] == 16 * (1 + 1 % 3)
+    assert out["pix_min"] <= out["pix_mean"] <= out["pix_max"]
+    # histogram is a partition of the pixel bytes
+    hist_total = sum(
+        out[f"hist_c{c}_b{b}"] for c in range(3) for b in range(4)
+    )
+    assert hist_total == out["n_pix_bytes"]
     assert feats.count() == docs.count()
     # real decoder path is stubbed
     with pytest.raises(NotImplementedError):
@@ -253,3 +264,138 @@ def test_corpus_deduped_lsh_survivorship(spark):
     assert not lsh_losers & survivors
     all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
     assert survivors == all_ids - exact_copies - lsh_losers
+
+
+def test_corpus_deduped_scratch_matches_persist(spark, tmp_path):
+    """r2 VERDICT item 4: the scratch_dir (materialized-index) path of
+    both materializers returns the same survivors as the lineage-persist
+    path, and its FINAL plan is cache-free — one docs scan anti-joined
+    with one loser scan instead of 88/100 re-derived subtrees."""
+    import re
+
+    corpus = load_corpus(spark, SF)
+    for fn, tag in (
+        (dedup.corpus_deduped, "cd"),
+        (dedup.corpus_deduped_lsh, "lsh"),
+    ):
+        # scratch first: the default path's persist() registers the
+        # shared corpus plan in the cache manager, which would make the
+        # scratch plan read InMemoryTableScan and defeat the assertion
+        spark.catalog.clearCache()
+        scratch = fn(
+            corpus, threshold=0.5, scratch_dir=str(tmp_path / tag)
+        )
+        scratch_ids = {r["doc_id"] for r in scratch.collect()}
+        default = {r["doc_id"] for r in fn(corpus, threshold=0.5).collect()}
+        assert scratch_ids == default, tag
+        phys = scratch._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in phys, tag
+        # one corpus read (the synthetic test corpus is itself a
+        # multi-scan union template with scalar subqueries) + one losers
+        # scan — nothing re-derived: the r2 audit counted 88 (cd) / 100
+        # (lsh) scans on the persist path, so pin an order-of-magnitude
+        # collapse rather than a brittle absolute count
+        n_scans = len(re.findall(r"Scan parquet", phys))
+        assert n_scans < 25, f"{tag}: {n_scans} scans (r2 baseline 88+)"
+
+
+def test_dedup_against_precomputed_index_round_trip(spark, tmp_path):
+    """r2 VERDICT item 3: dedup_against fed the shingle index a previous
+    run wrote (write_shingle_index parquet round-trip) agrees with the
+    recompute-from-base path, both as a path and as a (postings, sizes)
+    pair."""
+    corpus = load_corpus(spark, SF)
+    new_b = corpus.filter(F.col("doc_id") % 3 == 0)
+    base_b = corpus.filter(F.col("doc_id") % 3 != 0)
+    recomputed = {
+        r["doc_id"]
+        for r in dedup.dedup_against(new_b, base_b, threshold=0.5).collect()
+    }
+    idx_path = str(tmp_path / "base_index")
+    dedup.write_shingle_index(base_b, idx_path)
+    via_path = {
+        r["doc_id"]
+        for r in dedup.dedup_against(
+            new_b, base_b, threshold=0.5, base_index=idx_path
+        ).collect()
+    }
+    assert via_path == recomputed
+    via_pair = {
+        r["doc_id"]
+        for r in dedup.dedup_against(
+            new_b,
+            base_b,
+            threshold=0.5,
+            base_index=dedup.read_shingle_index(spark, idx_path),
+        ).collect()
+    }
+    assert via_pair == recomputed
+    # full production path: base_index + scratch_dir (survivors and
+    # near-losers materialized) — same answer, and the FINAL plan is
+    # just the survivors scan anti-joined with the loser scan
+    prod = dedup.dedup_against(
+        new_b,
+        base_b,
+        threshold=0.5,
+        base_index=idx_path,
+        scratch_dir=str(tmp_path / "da_scratch"),
+    )
+    assert {r["doc_id"] for r in prod.collect()} == recomputed
+    import re as _re
+
+    # survivors + near_losers scans (the AQE plan string prints initial
+    # and final sections, duplicating each scan)
+    phys = prod._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"Scan parquet", phys)) <= 4
+    # the index-fed plan must read the WRITTEN index (parquet relation on
+    # doc_id/sh) and shingle strictly less than the recompute plan (only
+    # the new batch is ever exploded)
+    fed = dedup.dedup_against(
+        new_b, base_b, threshold=0.5, base_index=idx_path
+    )
+    fed_opt = fed._jdf.queryExecution().optimizedPlan().toString()
+    rec_opt = (
+        dedup.dedup_against(new_b, base_b, threshold=0.5)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "sh#" in fed_opt and "parquet" in fed_opt
+    assert fed_opt.count("Generate explode") < rec_opt.count(
+        "Generate explode"
+    )
+
+
+def test_ivf_recall_floor_and_nprobe_monotone(spark):
+    """r2 VERDICT item 8: IVF recall ≥ 0.8 at sf0.01 (nprobe=4 of 16
+    lists; 0.85 measured in r2), monotone non-decreasing in nprobe, and
+    exactly 1.0 at nprobe == n_centroids (probing every list IS the
+    brute-force scan)."""
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = ann.brute_force_topk(embs, n_queries=8, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    recalls = []
+    for nprobe in (1, 4, 16):
+        ivf = ann.ivf_topk(embs, n_queries=8, k=5, nprobe=nprobe).collect()
+        got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+        recalls.append(len(truth & got) / len(truth))
+    assert recalls[1] >= 0.8, recalls
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[2] == 1.0, recalls
+
+
+def test_lsh_topk_finds_planted_copies(spark):
+    """LSH-bucketed ANN over the dup-planted vector corpus: each planted
+    copy (vec_id q+N for q % 10 == 0, cosine ≈ 0.999 to its original)
+    must surface as its original's rank-1 neighbor — near-identical
+    vectors agree on a band with overwhelming probability (miss-all-8
+    ≈ 2e-8), and everything is deterministic md5-derived literals."""
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    sf = "/root/testdata/sf0.01"
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    vc = vectors.load_vector_corpus(spark, sf)
+    out = ann.lsh_topk(vc, n_queries=11, k=3).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    for q in (0, 10):
+        assert top1[q] == q + n, (q, top1.get(q))

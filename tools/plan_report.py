@@ -39,10 +39,18 @@ TARGETS = [
     "conv_funnel",
     "token_quantiles",
     "corpus_deduped_lsh",
+    "corpus_deduped_scratch",
+    "corpus_deduped_lsh_scratch",
+    "dedup_against_indexed",
     "merge_pair_counts",
     "mixture_weights",
     "rolling_node_reads",
     "approx_distinct_subjects",
+    "ann_lsh_topk",
+    "event_transitions",
+    "rare_token_stats",
+    "turn_gap_quantiles",
+    "multimodal_features",
 ]
 
 PATTERNS = {
@@ -59,6 +67,60 @@ PATTERNS = {
 }
 
 
+def _overrides() -> dict:
+    """The gate fns for the dedup materializers collect-detach (their
+    returned DataFrame is a LocalTableScan), so report the REAL plans
+    directly: the lineage-persist path under the original names, and the
+    production scratch path (materialized index — the index write runs
+    eagerly here; the row shows the collapsed FINAL plan) as *_scratch."""
+    import tempfile
+
+    from d1_log_aggregation_spark.datapipe import dedup
+    from d1_log_aggregation_spark.datapipe.corpus import load_corpus
+
+    return {
+        "corpus_deduped": lambda s, d: dedup.corpus_deduped(
+            load_corpus(s, d)
+        ),
+        "corpus_deduped_lsh": lambda s, d: dedup.corpus_deduped_lsh(
+            load_corpus(s, d)
+        ),
+        "corpus_deduped_scratch": lambda s, d: dedup.corpus_deduped(
+            load_corpus(s, d),
+            scratch_dir=tempfile.mkdtemp(prefix="plans_cd_"),
+        ),
+        "corpus_deduped_lsh_scratch": lambda s, d: dedup.corpus_deduped_lsh(
+            load_corpus(s, d),
+            scratch_dir=tempfile.mkdtemp(prefix="plans_lsh_"),
+        ),
+        "dedup_against_indexed": _dedup_against_indexed,
+    }
+
+
+def _dedup_against_indexed(s, d):
+    """Production incremental dedup: base shingle index read from the
+    parquet a previous run wrote (written eagerly here) instead of
+    re-shingling the base corpus — compare with the dedup_against row."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from d1_log_aggregation_spark.datapipe import dedup
+    from d1_log_aggregation_spark.datapipe.corpus import load_corpus
+
+    corpus = load_corpus(s, d)
+    new_b = corpus.filter(F.col("doc_id") % 3 == 0)
+    base_b = corpus.filter(F.col("doc_id") % 3 != 0)
+    idx = tempfile.mkdtemp(prefix="plans_da_idx_")
+    dedup.write_shingle_index(base_b, idx)
+    return dedup.dedup_against(
+        new_b,
+        base_b,
+        base_index=idx,
+        scratch_dir=tempfile.mkdtemp(prefix="plans_da_s_"),
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     import __spark_entry__ as m
@@ -68,6 +130,7 @@ def main() -> None:
         app_name="plan-report", master="local[4]", shuffle_partitions=8
     )
     qs = m.queries()
+    qs.update(_overrides())
     print("# PLANS — physical plan shapes (generated)")
     print()
     print(f"`python tools/plan_report.py {sf_dir}`; counts from")
@@ -76,10 +139,22 @@ def main() -> None:
     print("Python stage is the fused repeat-visit/geohash Arrow pass;")
     print("enrichment joins broadcast (see tests/test_plan_shape.py).")
     print()
+    print("Since r3 the cache is CLEARED before each target, so counts")
+    print("are honest uncached-plan shapes (earlier rounds let one")
+    print("target's internal persists shrink later targets' printed")
+    print("plans).  The *_scratch / *_indexed rows are the production")
+    print("materialized-index paths — their final plans collapse to the")
+    print("docs scan + the written-relation scans; the synthetic test")
+    print("corpus itself accounts for 14 of the remaining scans (it is")
+    print("a 3-branch union template with scalar subqueries).")
+    print()
     cols = list(PATTERNS)
     print("| query | " + " | ".join(cols) + " |")
     print("|---|" + "---|" * len(cols))
     for name in TARGETS:
+        # earlier targets' internal persists must not rewrite later
+        # targets' plans as InMemoryTableScans
+        spark.catalog.clearCache()
         df = qs[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
