@@ -536,6 +536,16 @@ def _q_turn_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_gap_quantiles(_routed(spark, sf_dir))
 
 
+def _q_node_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from d1_log_aggregation_spark.operators.analytics import node_staleness
+
+    return node_staleness(_routed(spark, sf_dir))
+
+
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_sampling.corpus_split(_docs(spark, sf_dir))
+
+
 def _q_corpus_deduped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH materializer on its PRODUCTION path (materialized shingle
     index + banded signatures + losers, zero lineage persists)."""
@@ -678,6 +688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q_event_transitions,
         "rare_token_stats": _q_rare_token_stats,
         "turn_gap_quantiles": _q_turn_gap_quantiles,
+        "node_staleness": _q_node_staleness,
+        "corpus_split": _q_corpus_split,
     }
 
 
@@ -733,6 +745,7 @@ def oracle_sql() -> dict[str, str]:
             "merge_pair_counts": dp_text.merge_pair_counts_sql(k=50),
             "mixture_weights": dp_text.mixture_weights_sql(),
             "rare_token_stats": dp_text.rare_token_stats_sql(),
+            "corpus_split": dp_sampling.corpus_split_sql("documents"),
         }
     )
     return out

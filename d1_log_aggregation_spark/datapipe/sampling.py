@@ -288,3 +288,69 @@ SELECT shard_id, chunk_id,
 FROM ({inner})
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# 5. Train/val/test split (deterministic, disjoint, exhaustive).
+# --------------------------------------------------------------------------
+
+SPLIT_PPM: dict[str, int] = {"train": 980_000, "val": 10_000, "test": 10_000}
+
+
+def split_assign(
+    docs: DataFrame,
+    splits_ppm: dict[str, int] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(.., split): deterministic train/val/test assignment — each doc
+    lands in exactly one split by cumulative ppm ranges over
+    hash(salt, id) % 1e6 (disjoint + exhaustive by construction; ppm
+    weights must sum to 1e6).  Hash-based, never rand(): stable across
+    runs, engines, and task retries, and adding a NEW doc never moves an
+    existing doc's split — the property an eval set depends on.
+    Scan-local expression, no shuffle."""
+    splits_ppm = splits_ppm or SPLIT_PPM
+    if sum(splits_ppm.values()) != PPM:
+        raise ValueError("split ppm weights must sum to 1_000_000")
+    h = _hash_u32(salt, F.col(id_col)) % PPM
+    expr = None
+    cum = 0
+    for name, ppm in sorted(splits_ppm.items()):
+        cum += int(ppm)
+        branch = F.when(h < cum, F.lit(name))
+        expr = branch if expr is None else expr.when(h < cum, F.lit(name))
+    return docs.withColumn("split", expr)
+
+
+def corpus_split(
+    docs: DataFrame,
+    splits_ppm: dict[str, int] | None = None,
+    salt: str = "split-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, split): the full assignment relation (value-hash gated —
+    stronger than aggregate counts: every single doc's split must agree
+    across engines)."""
+    return split_assign(docs, splits_ppm, salt, id_col).select(
+        id_col, "split"
+    )
+
+
+def corpus_split_sql(
+    src: str = "documents",
+    splits_ppm: dict[str, int] | None = None,
+    salt: str = "split-v1",
+    id_expr: str = "doc_id",
+) -> str:
+    splits_ppm = splits_ppm or SPLIT_PPM
+    h = f"({_hash_u32_sql(salt, id_expr)} % {PPM})"
+    whens = []
+    cum = 0
+    for name, ppm in sorted(splits_ppm.items()):
+        cum += int(ppm)
+        whens.append(f"WHEN {h} < {cum} THEN '{name}'")
+    return (
+        f"SELECT {id_expr} AS doc_id, CASE {' '.join(whens)} END AS split"
+        f" FROM {src}"
+    )

@@ -364,6 +364,59 @@ GROUP BY 1, 2
 """
 
 
+def node_staleness(routed: DataFrame) -> DataFrame:
+    """(node_id, last_event_ts, n_events, staleness_s): per-node harvest
+    recency vs the corpus frontier — integer seconds between each node's
+    newest event and the global newest event.  The monitor the
+    reference's scheduler effectively maintains (it schedules per-node
+    harvests daily and tracks each node's last harvested date,
+    LogAggregationScheduleManager.java:112-165); stale nodes are the
+    ones whose harvest is failing.
+
+    Plan: one groupBy to the node-cardinality relation, then the global
+    max joined back as a broadcast scalar (cross join of a 1-row
+    aggregate — Spark broadcasts it; never a corpus-wide window)."""
+    per = (
+        routed.filter(
+            (F.col("sink") != "dlq") & F.col("node_id").isNotNull()
+        )
+        .groupBy("node_id")
+        .agg(
+            F.max("ts").alias("last_event_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    frontier = per.agg(F.max("last_event_ts").alias("_frontier"))
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        per.crossJoin(F.broadcast(frontier))
+        .withColumn(
+            "staleness_s",
+            F.floor(
+                (us("_frontier") - us("last_event_ts")) / F.lit(1_000_000)
+            ).cast("long"),
+        )
+        .drop("_frontier")
+    )
+
+
+def node_staleness_sql() -> str:
+    """Twin over the routed CTE ``r``."""
+    return """
+per AS (
+  SELECT node_id, max(ts) AS last_event_ts,
+         cast(count(*) AS bigint) AS n_events
+  FROM r WHERE sink <> 'dlq' AND node_id IS NOT NULL
+  GROUP BY node_id
+)
+SELECT node_id, last_event_ts, n_events,
+       cast(floor((epoch_us((SELECT max(last_event_ts) FROM per))
+                   - epoch_us(last_event_ts)) / 1000000.0) AS bigint)
+         AS staleness_s
+FROM per
+"""
+
+
 GAP_PCTS = [50, 90, 99]
 
 

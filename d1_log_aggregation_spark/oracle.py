@@ -293,6 +293,12 @@ def _turn_gap_quantiles_sql() -> str:
     return turn_gap_quantiles_sql()
 
 
+def _node_staleness_sql() -> str:
+    from .operators.analytics import node_staleness_sql
+
+    return node_staleness_sql()
+
+
 def enrich_asof_sql() -> str:
     """As-of enrich twin: DuckDB's native ASOF LEFT JOIN against the
     versioned registry (operators/asof.py implements the Spark side with
@@ -399,6 +405,8 @@ ORDER BY conv_id""",
         "event_transitions": base + ",\n" + _event_transitions_sql(),
         # per-role inter-turn gap quantiles (two-pass exact rank)
         "turn_gap_quantiles": base + ",\n" + _turn_gap_quantiles_sql(),
+        # per-node harvest recency vs the corpus frontier
+        "node_staleness": base + ",\n" + _node_staleness_sql(),
         # temporal as-of enrich: latest versioned-registry row with
         # valid_from ≤ event ts (operators/asof.py; DuckDB native ASOF)
         "enrich_asof": enrich_asof_sql(),

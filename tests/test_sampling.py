@@ -101,3 +101,27 @@ def test_pack_sequences_invariants(spark):
     total = man.agg(F.sum("n_docs"), F.sum("n_tokens")).collect()[0]
     assert total[0] == len(rows)
     assert total[1] == sum(r.n_tokens for r in rows)
+
+
+def test_corpus_split_disjoint_exhaustive_stable(spark):
+    """Train/val/test split: every doc gets exactly one split, weights
+    sum to 1e6 is enforced, the assignment is identical across runs, and
+    an existing doc's split never moves when the corpus grows (the
+    eval-set stability property of hash-based splits)."""
+    import pytest as _pytest
+
+    docs = _docs(spark)
+    n = docs.count()
+    a1 = {r.doc_id: r.split for r in sampling.corpus_split(docs).collect()}
+    assert len(a1) == n and None not in a1.values()
+    a2 = {r.doc_id: r.split for r in sampling.corpus_split(docs).collect()}
+    assert a1 == a2
+    # growth stability: assignments over a PREFIX subset are unchanged
+    sub = docs.filter(F.col("doc_id") < 100)
+    a_sub = {r.doc_id: r.split for r in sampling.corpus_split(sub).collect()}
+    assert a_sub == {k: v for k, v in a1.items() if k < 100}
+    # the dominant split dominates (98% train at n=500: ±6 sigma)
+    frac = sum(1 for v in a1.values() if v == "train") / n
+    assert frac > 0.93, frac
+    with _pytest.raises(ValueError):
+        sampling.split_assign(docs, {"train": 1, "val": 2})

@@ -50,6 +50,8 @@ TARGETS = [
     "event_transitions",
     "rare_token_stats",
     "turn_gap_quantiles",
+    "node_staleness",
+    "corpus_split",
     "multimodal_features",
 ]
 
