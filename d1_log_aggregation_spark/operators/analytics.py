@@ -374,8 +374,12 @@ def node_staleness(routed: DataFrame) -> DataFrame:
     ones whose harvest is failing.
 
     Plan: one groupBy to the node-cardinality relation, then the global
-    max joined back as a broadcast scalar (cross join of a 1-row
-    aggregate — Spark broadcasts it; never a corpus-wide window)."""
+    frontier via an UNPARTITIONED window over that aggregate — the
+    single-partition exchange moves only #nodes rows (dimension-sized at
+    any corpus scale).  Deliberately NOT a separate frontier aggregate
+    joined back: Catalyst shares no subtrees across plan references, so
+    that shape would execute the whole upstream pipeline twice (measured
+    31 scans / 19 exchanges vs 16/10 for this form, PLANS.md)."""
     per = (
         routed.filter(
             (F.col("sink") != "dlq") & F.col("node_id").isNotNull()
@@ -386,17 +390,13 @@ def node_staleness(routed: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
-    frontier = per.agg(F.max("last_event_ts").alias("_frontier"))
-    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
-    return (
-        per.crossJoin(F.broadcast(frontier))
-        .withColumn(
-            "staleness_s",
-            F.floor(
-                (us("_frontier") - us("last_event_ts")) / F.lit(1_000_000)
-            ).cast("long"),
-        )
-        .drop("_frontier")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    frontier = F.max("last_event_ts").over(Window.partitionBy())
+    return per.withColumn(
+        "staleness_s",
+        F.floor(
+            (us(frontier) - us(F.col("last_event_ts"))) / F.lit(1_000_000)
+        ).cast("long"),
     )
 
 
