@@ -546,6 +546,14 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_sampling.corpus_split(_docs(spark, sf_dir))
 
 
+def _q_quality_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_text.quality_rule_stats(_docs(spark, sf_dir))
+
+
+def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_ann.embedding_stats(_embs(spark, sf_dir))
+
+
 def _q_corpus_deduped_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH materializer on its PRODUCTION path (materialized shingle
     index + banded signatures + losers, zero lineage persists)."""
@@ -690,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_gap_quantiles": _q_turn_gap_quantiles,
         "node_staleness": _q_node_staleness,
         "corpus_split": _q_corpus_split,
+        "quality_rule_stats": _q_quality_rule_stats,
+        "embedding_stats": _q_embedding_stats,
     }
 
 
@@ -746,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
             "mixture_weights": dp_text.mixture_weights_sql(),
             "rare_token_stats": dp_text.rare_token_stats_sql(),
             "corpus_split": dp_sampling.corpus_split_sql("documents"),
+            "quality_rule_stats": dp_text.quality_rule_stats_sql(),
+            "embedding_stats": dp_oracle.embedding_stats_sql(),
         }
     )
     return out

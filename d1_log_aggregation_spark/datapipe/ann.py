@@ -249,6 +249,45 @@ def assign_centroids(
     )
 
 
+def embedding_stats(embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """(pos, n_vecs, sum_q, min_q, max_q, mean_q): per-dimension profile
+    of the quantized embedding table — the drift/health monitor an
+    embedding pipeline runs per ingest (a dimension whose range collapses
+    or explodes signals a broken encoder or a normalization change).
+
+    ONE aggregation pass with ``dim`` element_at aggregates, then a
+    driver-free stack() unpivot of the single aggregate row.  Deliberately
+    NOT posexplode → groupBy(pos): that multiplies the corpus by dim and
+    shuffles it onto a dim-cardinality key — 64 reducers carrying the
+    whole corpus.  Here the shuffle is one partial-agg row per task.
+    All sums/mins/maxes are exact int64 over quantized values; mean is
+    one ratio of exact ints."""
+    base = with_qvec(embeddings)
+    aggs = []
+    for i in range(dim):
+        e = F.element_at("qvec", i + 1)
+        aggs += [
+            F.sum(e).alias(f"s_{i}"),
+            F.min(e).alias(f"mn_{i}"),
+            F.max(e).alias(f"mx_{i}"),
+        ]
+    row = base.agg(F.count(F.lit(1)).alias("n"), *aggs)
+    stack_args = ", ".join(
+        f"{i}L, s_{i}, mn_{i}, mx_{i}" for i in range(dim)
+    )
+    return row.selectExpr(
+        "n",
+        f"stack({dim}, {stack_args}) AS (pos, sum_q, min_q, max_q)",
+    ).select(
+        "pos",
+        F.col("n").alias("n_vecs"),
+        "sum_q",
+        "min_q",
+        "max_q",
+        (F.col("sum_q") / F.col("n")).alias("mean_q"),
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 8,

@@ -342,6 +342,27 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def embedding_stats_sql() -> str:
+    """Twin of ann.embedding_stats (the oracle side may explode freely —
+    DuckDB is single-node and the relation is test-sized)."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, {QVEC} AS qvec FROM embeddings
+),
+px AS (
+  SELECT cast(generate_subscripts(qvec, 1) - 1 AS bigint) AS pos,
+         unnest(qvec) AS v
+  FROM base
+)
+SELECT pos, cast(count(*) AS bigint) AS n_vecs,
+       cast(sum(v) AS bigint) AS sum_q,
+       cast(min(v) AS bigint) AS min_q,
+       cast(max(v) AS bigint) AS max_q,
+       sum(v) * 1.0 / count(*) AS mean_q
+FROM px GROUP BY pos
+"""
+
+
 def lsh_topk_sql(
     n_queries: int = 8,
     k: int = 5,

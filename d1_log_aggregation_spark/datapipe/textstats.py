@@ -691,3 +691,71 @@ SELECT t.doc_id,
 FROM tokf t JOIN dfr d ON t.token = d.token
 GROUP BY t.doc_id
 """
+
+
+def quality_rule_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(lang_id, n_docs, n_fail_minlen, n_fail_alpha, n_fail_punct,
+    n_fail_toklen, n_quality_ok): per-language breakdown of WHICH quality
+    rule rejects documents — the tuning dashboard behind a quality gate
+    (a language failing mostly on alpha_ratio means the threshold is
+    wrong for its script, not that its documents are bad).  Rule
+    predicates are exactly with_textstats' quality_ok conjuncts; one
+    language-cardinality aggregate, all integer counts."""
+    st = with_lang_id(with_textstats(docs, text_col), text_col)
+    fails = {
+        "n_fail_minlen": ~(F.col("n_ws_tokens") >= 10),
+        "n_fail_alpha": ~(F.col("alpha_ratio") > 0.5),
+        "n_fail_punct": ~(F.col("punct_ratio") < 0.2),
+        "n_fail_toklen": ~F.col("mean_token_len").between(2.0, 12.0),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    aggs += [
+        F.sum(c.cast("long")).alias(name) for name, c in fails.items()
+    ]
+    aggs.append(
+        F.sum(F.col("quality_ok").cast("long")).alias("n_quality_ok")
+    )
+    return st.groupBy("lang_id").agg(*aggs)
+
+
+def quality_rule_stats_sql(
+    src: str = "documents", text_col: str = "text"
+) -> str:
+    ts = textstats_sql(text_col)
+    return f"""
+WITH st AS (
+  SELECT {lang_id_sql(text_col)} AS lang_id,
+         {ts['n_ws_tokens']} AS n_ws_tokens,
+         {ts['n_alpha']} AS n_alpha,
+         {ts['n_punct']} AS n_punct,
+         {ts['n_chars']} AS n_chars
+  FROM {src}
+),
+rules AS (
+  SELECT lang_id,
+         n_ws_tokens >= 10 AS ok_minlen,
+         (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars
+               ELSE 0.0 END) > 0.5 AS ok_alpha,
+         (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+               ELSE 0.0 END) < 0.2 AS ok_punct,
+         (CASE WHEN n_ws_tokens > 0
+               THEN (n_chars - n_ws_tokens + 1) * 1.0 / n_ws_tokens
+               ELSE 0.0 END) BETWEEN 2.0 AND 12.0 AS ok_toklen
+  FROM st
+)
+SELECT lang_id, cast(count(*) AS bigint) AS n_docs,
+       cast(sum(CASE WHEN NOT ok_minlen THEN 1 ELSE 0 END) AS bigint)
+         AS n_fail_minlen,
+       cast(sum(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS bigint)
+         AS n_fail_alpha,
+       cast(sum(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS bigint)
+         AS n_fail_punct,
+       cast(sum(CASE WHEN NOT ok_toklen THEN 1 ELSE 0 END) AS bigint)
+         AS n_fail_toklen,
+       cast(sum(CASE WHEN ok_minlen AND ok_alpha AND ok_punct
+                      AND ok_toklen THEN 1 ELSE 0 END) AS bigint)
+         AS n_quality_ok
+FROM rules GROUP BY lang_id
+"""

@@ -52,6 +52,8 @@ TARGETS = [
     "turn_gap_quantiles",
     "node_staleness",
     "corpus_split",
+    "quality_rule_stats",
+    "embedding_stats",
     "multimodal_features",
 ]
 
