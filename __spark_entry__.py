@@ -150,6 +150,52 @@ def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _q_streaming_node_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 second streaming aggregate: per-(node, day-window) read
+    counts through a REAL streaming execution (same harness as
+    streaming_windowed_counts: file source → watermark → tumbling
+    windows → append parquet sink, availableNow trigger), checked
+    against the batch relation + the watermark emission rule."""
+    import shutil
+    import tempfile
+
+    from d1_log_aggregation_spark.streaming.stream_pipeline import (
+        read_transcript_stream,
+        streaming_node_reads,
+        streaming_routed,
+    )
+
+    inp = tempfile.mkdtemp(prefix="gate_snr_in_")
+    out = tempfile.mkdtemp(prefix="gate_snr_out_")
+    ck = tempfile.mkdtemp(prefix="gate_snr_ck_")
+    load_transcripts(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    stream = read_transcript_stream(spark, inp)
+    routed = streaming_routed(
+        stream,
+        dims.registry_df(spark, sf_dir),
+        dims.sysmeta_df(spark, sf_dir),
+        watermark_delay="1 hour",
+    )
+    q = (
+        streaming_node_reads(routed, "1 day")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    result = spark.read.parquet(out)
+    schema = result.schema
+    rows = result.collect()
+    for d in (inp, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3/J6 oracle twin: deterministic sysmeta-change batch (every 5th
     doc pid) merged over the routed rows via apply_sysmeta_changes."""
@@ -643,6 +689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routed_rows": _q_routed_rows,
         "reenriched_rows": _q_reenriched_rows,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
+        "streaming_node_read_counts": _q_streaming_node_reads,
         "geohash_rows": _q_geohash_rows,
         "sink_counts": _q_sink_counts,
         "tool_sink_counts": _q_tool_sink_counts,

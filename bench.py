@@ -313,6 +313,11 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
         "minhash_lsh_pairs": lambda d: dedup.minhash_lsh_pairs(d),
         "simhash_pairs": lambda d: dedup.simhash_pairs(d),
         "corpus_deduped": lambda d: dedup.corpus_deduped(d),
+        # the production materialized-index path: growth includes the
+        # parquet index writes (the real cost structure at scale)
+        "corpus_deduped_scratch": lambda d: dedup.corpus_deduped(
+            d, scratch_dir="/tmp/bench_cds_scale"
+        ),
     }
     out = {"n_docs_1x": n_docs, "n_docs_scaled": n_scaled, "factor": factor}
     for name, fn in jobs.items():

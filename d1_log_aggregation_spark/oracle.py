@@ -442,6 +442,17 @@ FROM r r2, (SELECT max(ts) AS mx FROM r) wm
 GROUP BY 1, 2, wm.mx
 HAVING epoch_ms(date_trunc('day', min(r2.ts)) + INTERVAL 1 DAY)
        <= epoch_ms(wm.mx) - 3600000""",
+        # §2.8 second streaming aggregate: per-(node, day-window) read
+        # counts under the same watermark emission rule (the watermark is
+        # max ts over ALL routed rows; the filter applies inside)
+        "streaming_node_read_counts": base
+        + """SELECT date_trunc('day', r2.ts) AS window_start, r2.node_id,
+  count(*) AS n_reads
+FROM r r2, (SELECT max(ts) AS mx FROM r) wm
+WHERE r2.sink <> 'dlq' AND r2.node_id IS NOT NULL AND r2.event = 'read'
+GROUP BY 1, 2, wm.mx
+HAVING epoch_ms(date_trunc('day', min(r2.ts)) + INTERVAL 1 DAY)
+       <= epoch_ms(wm.mx) - 3600000""",
         # E3 re-enrichment (MERGE analog): changed sysmeta for every 5th
         # doc pid overwrites the sysmeta-derived columns and stamps
         # date_updated; unmatched rows keep originals

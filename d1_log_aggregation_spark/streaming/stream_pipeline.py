@@ -234,6 +234,31 @@ def streaming_sink_counts(
     )
 
 
+def streaming_node_reads(
+    routed: DataFrame, window_duration: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling-window per-(node, window) READ counts — the
+    streaming analog of the per-node date-histogram facets the
+    reference's consumers run (and of analytics.rolling_node_reads'
+    daily aggregate).  Append mode emits a (window, node) row once the
+    watermark passes the window end; the state is (windows × nodes)
+    cardinality — bounded regardless of corpus rate."""
+    return (
+        routed.filter(
+            (F.col("sink") != "dlq")
+            & F.col("node_id").isNotNull()
+            & (F.col("event") == "read")
+        )
+        .groupBy(F.window("ts", window_duration), "node_id")
+        .agg(F.count(F.lit(1)).alias("n_reads"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "node_id",
+            "n_reads",
+        )
+    )
+
+
 def start_pipeline(
     spark,
     input_path: str,
