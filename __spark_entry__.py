@@ -661,6 +661,12 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.dedup_components(load_corpus(spark, sf_dir), threshold=0.5)
 
 
+def _q_component_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dp_dedup.component_representatives(
+        load_corpus(spark, sf_dir), threshold=0.5
+    )
+
+
 def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: corpus docs with doc_id % 3 == 0 as the new
     batch, the rest as the existing corpus."""
@@ -722,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cap_stats": _q_dedup_cap_stats,
         "contamination_flags": _q_contamination_flags,
         "dedup_components": _q_dedup_components,
+        "component_representatives": _q_component_reps,
         "scrub_text": _q_scrub_text,
         "vocab_topk": _q_vocab_topk,
         "session_stats": _q_session_stats,
@@ -789,6 +796,8 @@ def oracle_sql() -> dict[str, str]:
                 bench_mod=37, min_common=5
             ),
             "dedup_components": dp_oracle.dedup_components_sql(0.5),
+            "component_representatives":
+                dp_oracle.component_representatives_sql(0.5),
             "dedup_against": dp_oracle.dedup_against_sql(
                 new_mod=3, threshold=0.5
             ),

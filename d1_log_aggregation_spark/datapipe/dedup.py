@@ -814,6 +814,46 @@ def dedup_components(
     return out
 
 
+def component_representatives(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """(component_id, doc_id, n_bpe_tokens, n_members): the BEST-COPY
+    survivor of each duplicate cluster — production dedup keeps the
+    highest-quality member, not mechanically the smallest id; here
+    quality = most BPE tokens (boilerplate-stripped copies are shorter),
+    tie → min doc_id.  Integer-only ranking, deterministic.
+
+    Plan: connected components over the (small) dup-pair graph, then the
+    token metric computed ONLY for cluster members (semi-join before the
+    regex — the metric never runs over non-duplicate docs), then a
+    window rank per component over the cluster-members relation (orders
+    of magnitude smaller than the corpus)."""
+    from pyspark.sql import Window
+
+    from .textstats import with_textstats
+
+    comps = dedup_components(docs, text_col, threshold, max_shingle_df)
+    members = docs.join(comps, "doc_id")
+    st = with_textstats(members, text_col).select(
+        "component_id", "doc_id", "n_bpe_tokens"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_bpe_tokens"), F.asc("doc_id")
+    )
+    sizes = st.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        st.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(sizes, "component_id")
+        .select("component_id", "doc_id", "n_bpe_tokens", "n_members")
+    )
+
+
 # --------------------------------------------------------------------------
 # 9. Incremental dedup (new batch vs existing corpus).
 # --------------------------------------------------------------------------

@@ -796,6 +796,36 @@ GROUP BY v.doc_id
 """
 
 
+def component_representatives_sql(
+    threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
+) -> str:
+    """Twin of dedup.component_representatives: the recursive-CTE
+    component closure nested as a subquery + per-member token counts +
+    best-copy window rank."""
+    n_bpe = T.textstats_sql("d.text")["n_bpe_tokens"]
+    return f"""
+WITH comp AS (
+  SELECT * FROM ({dedup_components_sql(threshold, max_df)}) _c
+),
+corpus2 AS ({corpus_sql()}),
+st AS (
+  SELECT c.component_id, d.doc_id, {n_bpe} AS n_bpe_tokens
+  FROM comp c JOIN corpus2 d ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT component_id, doc_id, n_bpe_tokens,
+         row_number() OVER (
+           PARTITION BY component_id
+           ORDER BY n_bpe_tokens DESC, doc_id ASC) AS rk,
+         cast(count(*) OVER (PARTITION BY component_id) AS bigint)
+           AS n_members
+  FROM st
+)
+SELECT component_id, doc_id, n_bpe_tokens, n_members
+FROM ranked WHERE rk = 1
+"""
+
+
 def dedup_against_sql(
     new_mod: int = 3, threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
 ) -> str:
