@@ -98,25 +98,31 @@ def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select(*cols)
 
 
-def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.8: a REAL Structured Streaming execution (file source →
-    watermark dedup → classify/enrich/route → tumbling day windows →
-    append-mode parquet sink, availableNow trigger), oracle-checked
-    against the batch relation + the watermark emission rule (windows
-    whose end ≤ final watermark = max ts − 1 h)."""
+def _run_streaming_gate(
+    spark: SparkSession, sf_dir: str, build_agg
+) -> DataFrame:
+    """Shared §2.8 gate harness — a REAL Structured Streaming execution
+    (file source → watermark → classify/enrich/route →
+    ``build_agg(routed)`` → append-mode parquet sink, availableNow
+    trigger), oracle-checked against the batch relation + the watermark
+    emission rule (windows whose end ≤ final watermark = max ts − 1 h).
+
+    One file → one micro-batch → no cross-batch disorder (TESTDATA files
+    are not globally time-sorted, and the gate must be deterministic).
+    The emitted aggregate is small, so it is collect-detached from the
+    temp dirs before they are removed — repeated gate runs would
+    otherwise leak a transcripts copy per invocation."""
+    import shutil
     import tempfile
 
     from d1_log_aggregation_spark.streaming.stream_pipeline import (
         read_transcript_stream,
         streaming_routed,
-        streaming_sink_counts,
     )
 
     inp = tempfile.mkdtemp(prefix="gate_stream_in_")
     out = tempfile.mkdtemp(prefix="gate_stream_out_")
     ck = tempfile.mkdtemp(prefix="gate_stream_ck_")
-    # one file → one micro-batch → no cross-batch disorder (TESTDATA files
-    # are not globally time-sorted, and the gate must be deterministic)
     load_transcripts(spark, sf_dir).coalesce(1).write.mode(
         "overwrite"
     ).parquet(inp)
@@ -128,7 +134,7 @@ def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark_delay="1 hour",
     )
     q = (
-        streaming_sink_counts(routed, "1 day")
+        build_agg(routed)
         .writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ck)
@@ -137,63 +143,36 @@ def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # the emitted aggregate is small (one row per day-window × sink):
-    # detach it from the temp dirs so they can be removed — repeated gate
-    # runs would otherwise leak a transcripts copy per invocation
-    import shutil
-
     result = spark.read.parquet(out)
     schema = result.schema
     rows = result.collect()
     for d in (inp, out, ck):
         shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: tumbling-day per-sink counts through the streaming gate
+    harness."""
+    from d1_log_aggregation_spark.streaming.stream_pipeline import (
+        streaming_sink_counts,
+    )
+
+    return _run_streaming_gate(
+        spark, sf_dir, lambda routed: streaming_sink_counts(routed, "1 day")
+    )
 
 
 def _q_streaming_node_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 second streaming aggregate: per-(node, day-window) read
-    counts through a REAL streaming execution (same harness as
-    streaming_windowed_counts: file source → watermark → tumbling
-    windows → append parquet sink, availableNow trigger), checked
-    against the batch relation + the watermark emission rule."""
-    import shutil
-    import tempfile
-
+    counts through the same streaming gate harness."""
     from d1_log_aggregation_spark.streaming.stream_pipeline import (
-        read_transcript_stream,
         streaming_node_reads,
-        streaming_routed,
     )
 
-    inp = tempfile.mkdtemp(prefix="gate_snr_in_")
-    out = tempfile.mkdtemp(prefix="gate_snr_out_")
-    ck = tempfile.mkdtemp(prefix="gate_snr_ck_")
-    load_transcripts(spark, sf_dir).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(inp)
-    stream = read_transcript_stream(spark, inp)
-    routed = streaming_routed(
-        stream,
-        dims.registry_df(spark, sf_dir),
-        dims.sysmeta_df(spark, sf_dir),
-        watermark_delay="1 hour",
+    return _run_streaming_gate(
+        spark, sf_dir, lambda routed: streaming_node_reads(routed, "1 day")
     )
-    q = (
-        streaming_node_reads(routed, "1 day")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ck)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    result = spark.read.parquet(out)
-    schema = result.schema
-    rows = result.collect()
-    for d in (inp, out, ck):
-        shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
 
 
 def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -165,9 +166,12 @@ def run_datapipe(spark) -> dict:
     jobs = {
         "dedup_corpus_deduped": lambda: dedup.corpus_deduped(corpus),
         # production path: shingle index + banded sigs + losers written
-        # to parquet (timed — the index write IS the production cost)
+        # to parquet (timed — the index write IS the production cost);
+        # fresh temp dir per invocation (the scratch contract: a shared
+        # fixed path would race concurrent bench runs and leak)
         "dedup_corpus_deduped_lsh": lambda: dedup.corpus_deduped_lsh(
-            corpus, scratch_dir="/tmp/bench_lsh_scratch"
+            corpus,
+            scratch_dir=tempfile.mkdtemp(prefix="bench_lsh_scratch_"),
         ),
         "dedup_minhash_lsh_pairs": lambda: dedup.minhash_lsh_pairs(corpus),
         "dedup_simhash_pairs": lambda: dedup.simhash_pairs(corpus),
@@ -316,7 +320,7 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
         # the production materialized-index path: growth includes the
         # parquet index writes (the real cost structure at scale)
         "corpus_deduped_scratch": lambda d: dedup.corpus_deduped(
-            d, scratch_dir="/tmp/bench_cds_scale"
+            d, scratch_dir=tempfile.mkdtemp(prefix="bench_cds_scale_")
         ),
     }
     out = {"n_docs_1x": n_docs, "n_docs_scaled": n_scaled, "factor": factor}

@@ -275,16 +275,23 @@ def embedding_stats(embeddings: DataFrame, dim: int = 64) -> DataFrame:
     stack_args = ", ".join(
         f"{i}L, s_{i}, mn_{i}, mx_{i}" for i in range(dim)
     )
-    return row.selectExpr(
-        "n",
-        f"stack({dim}, {stack_args}) AS (pos, sum_q, min_q, max_q)",
-    ).select(
-        "pos",
-        F.col("n").alias("n_vecs"),
-        "sum_q",
-        "min_q",
-        "max_q",
-        (F.col("sum_q") / F.col("n")).alias("mean_q"),
+    return (
+        row.selectExpr(
+            "n",
+            f"stack({dim}, {stack_args}) AS (pos, sum_q, min_q, max_q)",
+        )
+        # the agg row exists even for an EMPTY table (64 NULL-stat rows);
+        # the oracle's GROUP BY returns zero rows there — match it, and
+        # give the health monitor a missing-data signal instead of NULLs
+        .filter(F.col("n") > 0)
+        .select(
+            "pos",
+            F.col("n").alias("n_vecs"),
+            "sum_q",
+            "min_q",
+            "max_q",
+            (F.col("sum_q") / F.col("n")).alias("mean_q"),
+        )
     )
 
 

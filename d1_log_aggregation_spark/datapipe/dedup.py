@@ -182,9 +182,17 @@ def write_shingle_index(
     eviction silently re-runs the tokenize→shingle→md5 pipeline per plan
     reference; a written index is computed exactly once, collapses every
     downstream plan to parquet scans, and survives restarts — it is also
-    the artifact ``dedup_against`` reads for incremental dedup."""
-    sh, sizes = _shingle_index(docs, text_col)
+    the artifact ``dedup_against`` reads for incremental dedup.
+
+    The sizes table is aggregated from the WRITTEN postings, not from the
+    shingle lineage — deriving it from ``sh`` would re-execute the whole
+    tokenize→shingle→md5 corpus pass a second time (review r3 finding)."""
+    sh, _ = _shingle_index(docs, text_col)
     sh.write.mode("overwrite").parquet(f"{path}/postings")
+    written = docs.sparkSession.read.parquet(f"{path}/postings")
+    sizes = written.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
     sizes.write.mode("overwrite").parquet(f"{path}/sizes")
 
 
@@ -494,6 +502,9 @@ def corpus_deduped(
     scans it, and the (small) loser set is materialized eagerly — the
     returned plan is exactly one docs scan anti-joined with one loser
     scan, with nothing cached and nothing recomputed on cache eviction.
+    Contract: the returned DataFrame stays lazily bound to the files
+    under scratch_dir — use a FRESH scratch_dir per call (or materialize
+    the result first); a second call over the same dir overwrites them.
 
     Without scratch_dir (exploratory sessions), the input is persisted
     (MEMORY_AND_DISK): the loser computation and the anti-join reference
@@ -538,8 +549,9 @@ def corpus_deduped_lsh(
     a smaller doc_id.
 
     ``scratch_dir`` (production): shingle index + banded signatures +
-    loser set are materialized to parquet (see corpus_deduped) — zero
-    persists, restart-safe, plan = one docs scan + one loser scan.
+    loser set are materialized to parquet (see corpus_deduped, including
+    the fresh-dir-per-call contract) — zero persists, restart-safe,
+    plan = one docs scan + one loser scan.
     Without it, the lineage-persist path caches docs/index/bands until
     session end (ADVICE r2: long-lived drivers should pass scratch_dir
     or clear the cache between calls).
@@ -893,7 +905,8 @@ def dedup_against(
     materialized to parquet — the survivors table IS the incremental
     batch's output staging anyway, so nothing is wasted; the final plan
     collapses to one survivors scan anti-joined with one loser scan and
-    no lineage persists remain."""
+    no lineage persists remain.  Same fresh-dir-per-call contract as
+    corpus_deduped."""
     # exact: anti-join on the normalized fingerprint
     new_fp = new_docs.select(
         "doc_id", text_col,

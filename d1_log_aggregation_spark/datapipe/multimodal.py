@@ -137,6 +137,12 @@ def extract_features(
             pp = pos[pix_mask] - HEADER_BYTES
 
             n_pix = lens - HEADER_BYTES
+            if np.any(n_pix < n_feat):
+                # a short row would silently gather the NEXT row's bytes
+                # out of the flat batch concatenation — refuse instead
+                raise ValueError(
+                    f"payload pixel section shorter than n_feat={n_feat}"
+                )
             sums = np.bincount(pr, weights=pv, minlength=n)
             pix_mean = sums / n_pix
             pix_min = np.full(n, 255, dtype=np.int64)

@@ -639,7 +639,13 @@ def rare_token_stats(
     vocabulary-sized relation; pass 2 joins tokens back to their df on
     the token key (vocabulary is not broadcast-safe at corpus scale, so
     this is a plain hash join on a high-cardinality key) and aggregates
-    per doc_id.  No corpus-sized window, no collect."""
+    per doc_id.  No corpus-sized window, no collect.  The exploded token
+    relation feeds BOTH join sides, so it is persisted (MEMORY_AND_DISK,
+    the _shingle_index convention — Catalyst would otherwise re-run the
+    corpus tokenization once per reference); the cache lives until
+    session end, long-lived drivers should clear it between calls."""
+    from pyspark import StorageLevel
+
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -650,7 +656,7 @@ def rare_token_stats(
                 )
             )
         ).alias("token"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     df_rel = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )
