@@ -190,6 +190,36 @@ def _seed_centroid_rows(base: DataFrame, n_centroids: int) -> list:
     ]
 
 
+def _centroid_partials(members: DataFrame) -> DataFrame:
+    """(centroid_id, sums array<long>, cnt): per-Arrow-batch partial sum
+    matrix + member count per centroid — ONE numpy segment-sum pass over
+    (centroid_id, qvec), no row blowup.  Exact int64 arithmetic."""
+
+    def gen(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            cids = pdf["centroid_id"].to_numpy().astype(np.int64)
+            v = np.vstack(pdf["qvec"].to_numpy()).astype(
+                np.int64, copy=False
+            )
+            uniq, inv = np.unique(cids, return_inverse=True)
+            sums = np.zeros((len(uniq), v.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, v)
+            yield pd.DataFrame(
+                {
+                    "centroid_id": uniq,
+                    "sums": list(sums),
+                    "cnt": np.bincount(inv).astype(np.int64),
+                }
+            )
+
+    return members.mapInPandas(
+        gen, schema="centroid_id long, sums array<long>, cnt long"
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame, n_centroids: int = 16, n_iters: int = 2
 ) -> DataFrame:
@@ -200,10 +230,14 @@ def kmeans_centroids(
     centroids — the property the r1 'first-C-vectors stand-in' lacked a
     training step for.
 
-    Plan per iteration: one corpus matmul pass (assign) + posexplode →
-    groupBy(centroid, pos) partial agg → n_centroids-row collect.  The
-    only full-corpus shuffle is the (centroid_id, pos) agg, whose key
-    cardinality is n_centroids × dim — tiny and uniform at any scale.
+    Plan per iteration: one corpus matmul pass (assign), then an ARROW
+    ACCUMULATION of per-batch (centroid × dim) sum matrices
+    (_centroid_partials — r3 VERDICT item 6: the previous posexplode
+    multiplied the corpus by dim (×64 rows) before the partial agg; now
+    the corpus crosses Python once at native width and only
+    batches × n_centroids partial rows explode), a tiny
+    (centroid_id, pos) agg over those partials, and an n_centroids-row
+    collect.  Identical floor(Σval / count) math, exact int64.
     Centroids live driver-side between iterations (MLlib-style); empty
     centroids keep their previous position."""
     spark = embeddings.sparkSession
@@ -211,11 +245,20 @@ def kmeans_centroids(
     cent_rows = _seed_centroid_rows(base, n_centroids)
     for _ in range(n_iters):
         assign = _assign(base, cent_rows)
-        members = base.join(assign, "vec_id").select(
-            "centroid_id", F.posexplode("qvec").alias("pos", "val")
+        partials = _centroid_partials(
+            base.join(assign, "vec_id").select("centroid_id", "qvec")
         )
-        dims_agg = members.groupBy("centroid_id", "pos").agg(
-            F.floor(F.sum("val") / F.count(F.lit(1))).cast("long").alias("cv")
+        # posexplode over the PARTIAL relation (≤ batches × n_centroids
+        # rows), never the corpus
+        dims_agg = (
+            partials.select(
+                "centroid_id", "cnt",
+                F.posexplode("sums").alias("pos", "s"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.floor(F.sum("s") / F.sum("cnt")).cast("long").alias("cv")
+            )
         )
         rebuilt = dims_agg.groupBy("centroid_id").agg(
             F.transform(

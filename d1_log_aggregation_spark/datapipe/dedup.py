@@ -427,14 +427,24 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max_hamming) via 4 × 16-bit band buckets.
     Pigeonhole: hamming ≤ 3 over 4 disjoint 16-bit bands ⇒ at least one
     band equal, so banding has no false negatives.  65 536 bucket values
     per band keep the band self-join linear at corpus scale (vs 256 with
     byte bands).  The shift is arithmetic in both engines but the & mask
-    extracts the same 16 physical bits regardless of sign fill."""
+    extracts the same 16 physical bits regardless of sign fill.
+
+    ``scratch_dir`` (production / long-lived drivers, r3 VERDICT item 5):
+    the banded signatures are WRITTEN to parquet and both sides of the
+    self-join scan the files — zero session-lifetime persists,
+    restart-safe, same fresh-dir-per-call contract as the dedup
+    materializers.  Without it the banded relation is persisted
+    (MEMORY_AND_DISK) for the duration of the session."""
     sh = simhash(docs, text_col)
     # one explode pass over the signatures, not a per-band union (see
     # minhash_lsh_pairs: union branches recompute the bit-vote agg 4×)
@@ -448,13 +458,20 @@ def simhash_pairs(
         )
         for i in range(SIMHASH_BANDS)
     ]
-    from pyspark import StorageLevel
-
-    # persisted: the band self-join references this twice — caching runs
-    # the 64-vote SimHash aggregation once instead of twice
     banded = sh.select(
         "doc_id", "simhash", F.explode(F.array(*keys)).alias("band_key")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if scratch_dir is not None:
+        spark = docs.sparkSession
+        banded.write.mode("overwrite").parquet(f"{scratch_dir}/simhash_bands")
+        banded = spark.read.parquet(f"{scratch_dir}/simhash_bands")
+    else:
+        from pyspark import StorageLevel
+
+        # persisted: the band self-join references this twice — caching
+        # runs the 64-vote SimHash aggregation once instead of twice;
+        # lives until session end (pass scratch_dir to avoid)
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

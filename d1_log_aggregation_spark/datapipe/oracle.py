@@ -715,6 +715,61 @@ FROM b JOIN agg USING (doc_id)
 """
 
 
+def multimodal_audio_features_sql() -> str:
+    """Twin of multimodal.extract_audio_features over the synthetic audio
+    container: 4-byte header + (1 + doc_id%4) repeats of
+    unhex(md5(norm_text)) read as little-endian int16 samples — every
+    sample reconstructed from hex; zero-crossings via lag() over the
+    sample order, mean/rms as one float op from exact integer sums."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    rate = ("CASE rate_code WHEN 0 THEN 8000 WHEN 1 THEN 16000 "
+            "WHEN 2 THEN 22050 ELSE 44100 END")
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         repeat(md5({norm}), 1 + doc_id % 4) AS wav_hex,
+         cast(doc_id % 4 AS int) AS rate_code,
+         cast(1 + doc_id % 4 AS int) AS reps
+  FROM documents
+),
+sm0 AS (
+  SELECT doc_id, wav_hex, unnest(range(0, reps * 8)) AS j FROM b
+),
+sm1 AS (
+  SELECT doc_id, j,
+         try_cast(('0x' || substr(wav_hex, 4 * j + 1, 2)) AS bigint) AS lo,
+         try_cast(('0x' || substr(wav_hex, 4 * j + 3, 2)) AS bigint) AS hi
+  FROM sm0
+),
+sm AS (
+  SELECT doc_id, j,
+         CASE WHEN lo + 256 * hi >= 32768 THEN lo + 256 * hi - 65536
+              ELSE lo + 256 * hi END AS s
+  FROM sm1
+),
+lagd AS (
+  SELECT doc_id, s,
+         lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS ps
+  FROM sm
+),
+agg AS (
+  SELECT doc_id,
+         cast(count(*) AS bigint) AS n_samples,
+         cast(max(abs(s)) AS int) AS peak,
+         sum(s) * 1.0 / count(*) AS mean_s,
+         sqrt(sum(s * s) * 1.0 / count(*)) AS rms,
+         cast(sum(CASE WHEN ps IS NOT NULL AND ((s < 0) <> (ps < 0))
+                       THEN 1 ELSE 0 END) AS bigint) AS n_zero_cross
+  FROM lagd GROUP BY doc_id
+)
+SELECT b.doc_id, b.rate_code,
+       cast({rate} AS int) AS sample_rate,
+       agg.n_samples, agg.peak, agg.mean_s, agg.rms, agg.n_zero_cross,
+       cast(agg.n_samples * 1000000 // ({rate}) AS bigint) AS duration_us
+FROM b JOIN agg USING (doc_id)
+"""
+
+
 def stop_shingle_stats_sql(max_df: int | None = None) -> str:
     max_df = max_df or D.MAX_SHINGLE_DF
     return f"""

@@ -387,7 +387,16 @@ def grouped_exact_quantiles(
     pass 2 windows over the DISTINCT-VALUE relation for the cumulative
     count and picks min{v : cum(v) ≥ ceil(p·n/100)} — exactly the rank-r
     order statistic, never a group-sized sort task.  Integer-only rank
-    arithmetic: both engines agree bit-for-bit."""
+    arithmetic: both engines agree bit-for-bit.
+
+    PRECONDITION (r3 VERDICT): per-group DISTINCT-VALUE cardinality must
+    be ≪ corpus size — pass 2's per-group window sorts one task per
+    group.  True for bounded counts (BPE token counts top out in the
+    thousands); FALSE for near-continuous values (raw µs gaps).  Callers
+    with near-continuous values must quantize first to a declared
+    resolution (see analytics.turn_gap_quantiles / _quantize_sig, which
+    bounds the domain to ~90 values per decade) or range-partition the
+    rank."""
     pcts = pcts or QUANTILE_PCTS
     vc = df.groupBy(group_col, value_col).agg(
         F.count(F.lit(1)).alias("c")
@@ -625,7 +634,10 @@ RARE_MIN_DF = 3
 
 
 def rare_token_stats(
-    docs: DataFrame, text_col: str = "text", min_df: int = RARE_MIN_DF
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = RARE_MIN_DF,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_distinct_tokens, n_rare, rare_ratio): per-document
     count of DISTINCT tokens whose corpus document frequency is below
@@ -640,12 +652,13 @@ def rare_token_stats(
     the token key (vocabulary is not broadcast-safe at corpus scale, so
     this is a plain hash join on a high-cardinality key) and aggregates
     per doc_id.  No corpus-sized window, no collect.  The exploded token
-    relation feeds BOTH join sides, so it is persisted (MEMORY_AND_DISK,
-    the _shingle_index convention — Catalyst would otherwise re-run the
-    corpus tokenization once per reference); the cache lives until
-    session end, long-lived drivers should clear it between calls."""
-    from pyspark import StorageLevel
-
+    relation feeds BOTH join sides: with ``scratch_dir`` (production /
+    long-lived drivers, r3 VERDICT item 5) it is WRITTEN to parquet and
+    both sides scan the files — zero session-lifetime persists,
+    fresh-dir-per-call contract as the dedup materializers; without it,
+    it is persisted (MEMORY_AND_DISK, the _shingle_index convention —
+    Catalyst would otherwise re-run the corpus tokenization once per
+    reference) and the cache lives until session end."""
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -656,7 +669,15 @@ def rare_token_stats(
                 )
             )
         ).alias("token"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if scratch_dir is not None:
+        spark = docs.sparkSession
+        toks.write.mode("overwrite").parquet(f"{scratch_dir}/rare_tokens")
+        toks = spark.read.parquet(f"{scratch_dir}/rare_tokens")
+    else:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     df_rel = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")
     )

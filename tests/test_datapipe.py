@@ -299,7 +299,9 @@ def test_corpus_deduped_scratch_matches_persist(spark, tmp_path):
         assert n_scans < 25, f"{tag}: {n_scans} scans (r2 baseline 88+)"
 
 
-def test_dedup_against_precomputed_index_round_trip(spark, tmp_path):
+def test_dedup_against_precomputed_index_round_trip(
+    spark, tmp_path, monkeypatch
+):
     """r2 VERDICT item 3: dedup_against fed the shingle index a previous
     run wrote (write_shingle_index parquet round-trip) agrees with the
     recompute-from-base path, both as a path and as a (postings, sizes)
@@ -347,6 +349,9 @@ def test_dedup_against_precomputed_index_round_trip(spark, tmp_path):
     # and final sections, duplicating each scan)
     phys = prod._jdf.queryExecution().executedPlan().toString()
     assert len(_re.findall(r"Scan parquet", phys)) <= 4
+    # ... and ZERO tokenization in the production final plan: all
+    # shingling happened during the (index-fed) loser materialization
+    assert "Generate explode" not in phys
     # the index-fed plan must read the WRITTEN index (parquet relation on
     # doc_id/sh) and shingle strictly less than the recompute plan (only
     # the new batch is ever exploded)
@@ -364,6 +369,20 @@ def test_dedup_against_precomputed_index_round_trip(spark, tmp_path):
     assert fed_opt.count("Generate explode") < rec_opt.count(
         "Generate explode"
     )
+    # r3 VERDICT item 9 — the decisive no-base-tokenization proof, at
+    # the code level (plan text can't distinguish the base FINGERPRINT
+    # scan, which is allowed, from base SHINGLING, which is not): with
+    # base_index fed, _shingle_index runs exactly once, over the new
+    # batch's survivors — never over base_docs
+    shingled = []
+    orig = dedup._shingle_index
+    monkeypatch.setattr(
+        dedup,
+        "_shingle_index",
+        lambda df, *a, **k: (shingled.append(df), orig(df, *a, **k))[1],
+    )
+    dedup.dedup_against(new_b, base_b, threshold=0.5, base_index=idx_path)
+    assert len(shingled) == 1, "base corpus was re-shingled"
 
 
 def test_ivf_recall_floor_and_nprobe_monotone(spark):
@@ -399,3 +418,99 @@ def test_lsh_topk_finds_planted_copies(spark):
     top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     for q in (0, 10):
         assert top1[q] == q + n, (q, top1.get(q))
+
+
+def test_scratch_mode_leaves_no_session_persists(spark, tmp_path):
+    """r3 VERDICT item 5: simhash_pairs and rare_token_stats with a
+    scratch_dir must leave ZERO session-lifetime cached blocks (the
+    persist path is only for exploratory sessions).  Equivalence with the
+    persist path is asserted on the same corpus."""
+    from d1_log_aggregation_spark.datapipe import dedup as dp_dedup
+    from d1_log_aggregation_spark.datapipe import textstats as dp_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon shared common words"),
+            (2, "alpha beta gamma delta epsilon shared common words"),
+            (3, "totally different rare singleton tokens here now ok"),
+            (4, "alpha beta gamma delta epsilon shared common words x"),
+        ],
+        "doc_id long, text string",
+    )
+    spark.catalog.clearCache()
+
+    sp = dp_dedup.simhash_pairs(
+        docs, max_hamming=3, scratch_dir=str(tmp_path / "sh")
+    ).collect()
+    rt = dp_text.rare_token_stats(
+        docs, scratch_dir=str(tmp_path / "rt")
+    ).collect()
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 0, f"{n_cached} persisted RDDs after scratch calls"
+
+    # same answers as the persist path
+    sp2 = dp_dedup.simhash_pairs(docs, max_hamming=3).collect()
+    rt2 = dp_text.rare_token_stats(docs).collect()
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, sp)) == sorted(map(key, sp2))
+    assert sorted(map(key, rt)) == sorted(map(key, rt2))
+    spark.catalog.clearCache()
+
+
+def test_audio_modality_decode_and_guards(spark):
+    """Second container modality (r3 VERDICT item 7): int16 waveform
+    decode semantics on a hand-built payload, plus the decode guards
+    (short payload, zero channels, bad magic) on BOTH decoders
+    (ADVICE r3)."""
+    import struct
+
+    samples = [100, -200, 300, -400, 0, -1, 7, -7]  # 5 sign changes
+    payload = bytes([0xA1, 1, 2, 0]) + b"".join(
+        struct.pack("<h", s) for s in samples
+    )
+    media = spark.createDataFrame(
+        [(1, payload, 2)], "doc_id long, payload binary, rate_code int"
+    )
+    row = multimodal.extract_audio_features(media).collect()[0]
+    assert row["sample_rate"] == 22050  # rate_code 2
+    assert row["n_samples"] == len(samples)
+    assert row["peak"] == 400
+    assert row["n_zero_cross"] == sum(
+        (a < 0) != (b < 0) for a, b in zip(samples, samples[1:])
+    )
+    assert abs(row["mean_s"] - sum(samples) / len(samples)) < 1e-9
+    rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    assert abs(row["rms"] - rms) < 1e-9
+    assert row["duration_us"] == len(samples) * 1_000_000 // 22050
+
+    import pytest as _pytest
+
+    def run_audio(pl):
+        bad = spark.createDataFrame(
+            [(1, pl, 0)], "doc_id long, payload binary, rate_code int"
+        )
+        multimodal.extract_audio_features(bad).collect()
+
+    with _pytest.raises(Exception, match="shorter"):
+        run_audio(bytes([0xA1, 1]))
+    with _pytest.raises(Exception, match="0 channels"):
+        run_audio(bytes([0xA1, 0, 0, 0]) + b"\x00\x00")
+    with _pytest.raises(Exception, match="magic"):
+        run_audio(bytes([0xFF, 1, 0, 0]) + b"\x00\x00")
+    with _pytest.raises(Exception, match="odd"):
+        run_audio(bytes([0xA1, 1, 0, 0]) + b"\x00")
+    # the image decoder guards too (ADVICE r3: short payload / channels=0)
+    def run_image(pl):
+        bad = spark.createDataFrame(
+            [(1, pl, 1, 1)],
+            "doc_id long, payload binary, width int, height int",
+        )
+        multimodal.extract_features(bad).collect()
+
+    with _pytest.raises(Exception, match="shorter"):
+        run_image(bytes([0xD1, 3]))
+    with _pytest.raises(Exception, match="0 channels"):
+        run_image(bytes([0xD1, 0, 1, 1]) + bytes(range(16)))
+    # real codec paths stay honestly stubbed
+    with _pytest.raises(NotImplementedError):
+        multimodal.extract_audio_features(media, fake=False)

@@ -55,6 +55,7 @@ TARGETS = [
     "quality_rule_stats",
     "embedding_stats",
     "multimodal_features",
+    "multimodal_audio_features",
 ]
 
 PATTERNS = {
@@ -71,14 +72,32 @@ PATTERNS = {
 }
 
 
+# scratch dirs handed to the materializer rows, removed at exit
+# (ADVICE r3: the report leaked three corpus-scale index dirs per run)
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _overrides() -> dict:
     """The gate fns for the dedup materializers collect-detach (their
     returned DataFrame is a LocalTableScan), so report the REAL plans
     directly: the lineage-persist path under the original names, and the
     production scratch path (materialized index — the index write runs
     eagerly here; the row shows the collapsed FINAL plan) as *_scratch."""
-    import tempfile
-
     from d1_log_aggregation_spark.datapipe import dedup
     from d1_log_aggregation_spark.datapipe.corpus import load_corpus
 
@@ -90,12 +109,10 @@ def _overrides() -> dict:
             load_corpus(s, d)
         ),
         "corpus_deduped_scratch": lambda s, d: dedup.corpus_deduped(
-            load_corpus(s, d),
-            scratch_dir=tempfile.mkdtemp(prefix="plans_cd_"),
+            load_corpus(s, d), scratch_dir=_scratch("plans_cd_")
         ),
         "corpus_deduped_lsh_scratch": lambda s, d: dedup.corpus_deduped_lsh(
-            load_corpus(s, d),
-            scratch_dir=tempfile.mkdtemp(prefix="plans_lsh_"),
+            load_corpus(s, d), scratch_dir=_scratch("plans_lsh_")
         ),
         "dedup_against_indexed": _dedup_against_indexed,
     }
@@ -105,8 +122,6 @@ def _dedup_against_indexed(s, d):
     """Production incremental dedup: base shingle index read from the
     parquet a previous run wrote (written eagerly here) instead of
     re-shingling the base corpus — compare with the dedup_against row."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from d1_log_aggregation_spark.datapipe import dedup
@@ -115,13 +130,10 @@ def _dedup_against_indexed(s, d):
     corpus = load_corpus(s, d)
     new_b = corpus.filter(F.col("doc_id") % 3 == 0)
     base_b = corpus.filter(F.col("doc_id") % 3 != 0)
-    idx = tempfile.mkdtemp(prefix="plans_da_idx_")
+    idx = _scratch("plans_da_idx_")
     dedup.write_shingle_index(base_b, idx)
     return dedup.dedup_against(
-        new_b,
-        base_b,
-        base_index=idx,
-        scratch_dir=tempfile.mkdtemp(prefix="plans_da_s_"),
+        new_b, base_b, base_index=idx, scratch_dir=_scratch("plans_da_s_")
     )
 
 
@@ -167,6 +179,7 @@ def main() -> None:
         counts = [str(len(re.findall(p, plan))) for p in PATTERNS.values()]
         print(f"| {name} | " + " | ".join(counts) + " |")
     spark.stop()
+    _cleanup_scratch()
 
 
 if __name__ == "__main__":
