@@ -20,6 +20,12 @@ from d1_log_aggregation_spark.datapipe import dedup as dp_dedup
 from d1_log_aggregation_spark.datapipe import multimodal as dp_mm
 from d1_log_aggregation_spark.datapipe import oracle as dp_oracle
 from d1_log_aggregation_spark.datapipe import sampling as dp_sampling
+from d1_log_aggregation_spark.datapipe.search import (
+    similar_docs_topk_sql as dp_search_sql,
+)
+from d1_log_aggregation_spark.operators.scd import (
+    scd2_registry_sql as _scd2_registry_sql,
+)
 from d1_log_aggregation_spark.datapipe import textstats as dp_text
 from d1_log_aggregation_spark.datapipe.corpus import load_corpus
 from d1_log_aggregation_spark.operators.aggregate import (
@@ -175,6 +181,21 @@ def _q_streaming_node_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 third streaming aggregate: native session_window per-client
+    counts through the same streaming gate harness (append-mode emission
+    of sessions whose end cleared the final watermark)."""
+    from d1_log_aggregation_spark.streaming.stream_pipeline import (
+        streaming_session_counts,
+    )
+
+    return _run_streaming_gate(
+        spark,
+        sf_dir,
+        lambda routed: streaming_session_counts(routed, "30 minutes"),
+    )
+
+
 def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E3/J6 oracle twin: deterministic sysmeta-change batch (every 5th
     doc pid) merged over the routed rows via apply_sysmeta_changes."""
@@ -197,6 +218,15 @@ def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "pid", "format_id", "format_type", "size",
         "rights_holder", "date_updated",
     )
+
+
+def _q_scd2_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension build (operators/scd.py): the versioned-registry
+    change log rolled into [valid_from, valid_to) intervals + is_current
+    — the producer side of what enrich_asof consumes."""
+    from d1_log_aggregation_spark.operators.scd import scd2_intervals
+
+    return scd2_intervals(dims.versioned_registry_df(spark, sf_dir))
 
 
 GEOHASH_CFG = PipelineConfig(
@@ -554,6 +584,17 @@ def _q_rolling_node_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_node_reads(_routed(spark, sf_dir))
 
 
+def _q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily + trailing 7-day distinct active users via the
+    contribution-explode form (distinct counts don't merge across RANGE
+    frames, so the rolling_node_reads trick is unavailable)."""
+    from d1_log_aggregation_spark.operators.analytics import (
+        rolling_distinct_users,
+    )
+
+    return rolling_distinct_users(_routed(spark, sf_dir))
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d1_log_aggregation_spark.operators.analytics import (
         event_transitions,
@@ -675,6 +716,22 @@ def _q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.dedup_against(new_b, base_b, threshold=0.5)
 
 
+def _q_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index document search on its PRODUCTION path (corpus
+    shingle index materialized to scratch parquet, zero persists), over
+    the planted-dup corpus with query_mod=10 so every query doc has at
+    least its planted copy to find (raw documents are mostly dissimilar
+    — a 1-row result gate-checks nothing)."""
+    from d1_log_aggregation_spark.datapipe import search as dp_search
+
+    return _scratch_detached(
+        spark,
+        lambda d: dp_search.similar_docs_topk(
+            load_corpus(spark, sf_dir), query_mod=10, scratch_dir=d
+        ),
+    )
+
+
 def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = _docs(spark, sf_dir).filter(F.col("doc_id") % 37 == 0)
     return dp_dedup.contamination_flags(
@@ -708,6 +765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_subjects": _q_approx_distinct_subjects,
         # --- new in round 4 ----------------------------------------------
         "multimodal_audio_features": _q_multimodal_audio,
+        "rolling_distinct_users": _q_rolling_distinct_users,
+        "similar_docs_topk": _q_similar_docs_topk,
+        "streaming_session_counts": _q_streaming_session_counts,
+        "scd2_registry": _q_scd2_registry,
         # --- representative pipeline core --------------------------------
         "transcripts": _q_transcripts,
         "dedup_turns": _q_dedup,
@@ -792,6 +853,10 @@ def oracle_sql() -> dict[str, str]:
             "multimodal_features": dp_oracle.multimodal_features_sql(),
             "multimodal_audio_features":
                 dp_oracle.multimodal_audio_features_sql(),
+            "similar_docs_topk": dp_search_sql(
+                src="corpus", query_mod=10
+            ),
+            "scd2_registry": _scd2_registry_sql(),
             "corpus_sample": dp_sampling.sample_bernoulli_sql(
                 "documents", rate_ppm=200_000
             ),

@@ -247,6 +247,18 @@ def run_round_ops(spark) -> dict:
         turn_gap_quantiles,
     )
 
+    def _dp_search():
+        from d1_log_aggregation_spark.datapipe import search
+
+        return search
+
+    def _rolling_distinct_users():
+        from d1_log_aggregation_spark.operators.analytics import (
+            rolling_distinct_users,
+        )
+
+        return rolling_distinct_users
+
     routed = spark.read.parquet("/tmp/bench_routed.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -272,6 +284,13 @@ def run_round_ops(spark) -> dict:
             "corpus_split": lambda: dp_sampling.corpus_split(docs),
             "quality_rule_stats":
                 lambda: dp_text.quality_rule_stats(docs),
+            # r4 additions: inverted-index search on its materialized-
+            # index production path, and the exact rolling distinct
+            "similar_docs_topk": lambda: _dp_search().similar_docs_topk(
+                docs, scratch_dir=scratch.fresh()
+            ),
+            "rolling_distinct_users":
+                lambda: _rolling_distinct_users()(routed),
         }
         for name, fn in jobs.items():
             for _ in range(2):

@@ -563,3 +563,101 @@ SELECT f.cohort_week,
 FROM active a JOIN firstw f ON a.subj = f.subj
 GROUP BY 1, 2
 """
+
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+def rolling_distinct_users(
+    routed: DataFrame, window_days: int = ROLLING_DISTINCT_DAYS
+) -> DataFrame:
+    """(day, n_users_1d, n_users_7d): EXACT daily and trailing
+    ``window_days``-day distinct active principals — the WAU-style reach
+    series next to rolling_node_reads' count series.  Distinct counts do
+    NOT merge across window frames (unlike sums), so the RANGE-frame
+    trick is unavailable; the scale-safe exact form is
+    CONTRIBUTION EXPLODE: dedup to the (day, subj) relation (the only
+    corpus-sized shuffle, map-side combining), explode each row to the
+    ``window_days`` target days it contributes to, and run one
+    countDistinct per target day.  The explode multiplies the
+    DAY-GRANULAR relation (≤ users × days, already tiny vs the event
+    stream) by a constant 7 — never the event stream — and the final
+    aggregate keys on day (calendar cardinality).  Output rows exist for
+    days WITH activity (both engines key the output on the active-day
+    relation; trailing windows still look across calendar gaps because
+    contribution targets are day NUMBERS, not row offsets — see
+    rolling_node_reads for the RANGE-frame treatment of gap days)."""
+    active = (
+        routed.filter((F.col("sink") != "dlq") & (F.col("subj") != ""))
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"), "subj"
+        )
+        .distinct()
+        .withColumn(
+            "day_num",
+            F.datediff(
+                F.col("day").cast("date"), F.lit(ROLLING_EPOCH).cast("date")
+            ),
+        )
+    )
+    contrib = active.select(
+        "subj",
+        "day_num",
+        F.explode(
+            F.sequence(
+                F.col("day_num"),
+                F.col("day_num") + F.lit(window_days - 1),
+            )
+        ).alias("target_day_num"),
+    )
+    # only calendar days that exist in the data may appear in the output
+    days = active.select("day", "day_num").distinct()
+    daily = active.groupBy("day_num").agg(
+        F.countDistinct("subj").alias("n_users_1d")
+    )
+    rolled = contrib.groupBy("target_day_num").agg(
+        F.countDistinct("subj").alias(f"n_users_{window_days}d")
+    )
+    return (
+        days.join(
+            rolled,
+            days["day_num"] == rolled["target_day_num"],
+        )
+        .join(daily, "day_num")  # every active day has a daily row
+        .select("day", "n_users_1d", f"n_users_{window_days}d")
+    )
+
+
+def rolling_distinct_users_sql(
+    window_days: int = ROLLING_DISTINCT_DAYS,
+) -> str:
+    """Twin over the routed CTE ``r`` — deliberately the direct
+    range-self-join formulation (independent derivation; the Spark side
+    is the contribution-explode form)."""
+    back = window_days - 1
+    return f"""
+active AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day,
+         date_diff('day', DATE '{ROLLING_EPOCH}',
+                   cast(date_trunc('day', ts) AS date)) AS day_num,
+         subj
+  FROM r WHERE sink <> 'dlq' AND subj <> ''
+),
+days AS (SELECT DISTINCT day, day_num FROM active),
+daily AS (
+  SELECT day_num, cast(count(DISTINCT subj) AS bigint) AS n_users_1d
+  FROM active GROUP BY day_num
+),
+rolled AS (
+  SELECT d.day_num,
+         cast(count(DISTINCT a.subj) AS bigint) AS n_users_{window_days}d
+  FROM days d
+  JOIN active a
+    ON a.day_num BETWEEN d.day_num - {back} AND d.day_num
+  GROUP BY d.day_num
+)
+SELECT d.day, dy.n_users_1d, r2.n_users_{window_days}d
+FROM days d
+JOIN rolled r2 ON d.day_num = r2.day_num
+JOIN daily dy ON d.day_num = dy.day_num
+"""

@@ -275,6 +275,12 @@ def _conv_funnel_sql() -> str:
     return conv_funnel_sql()
 
 
+def _rolling_distinct_users_sql() -> str:
+    from .operators.analytics import rolling_distinct_users_sql
+
+    return rolling_distinct_users_sql()
+
+
 def _rolling_node_reads_sql() -> str:
     from .operators.analytics import rolling_node_reads_sql
 
@@ -407,6 +413,9 @@ ORDER BY conv_id""",
         "turn_gap_quantiles": base + ",\n" + _turn_gap_quantiles_sql(),
         # per-node harvest recency vs the corpus frontier
         "node_staleness": base + ",\n" + _node_staleness_sql(),
+        # exact daily + trailing 7-day distinct active users
+        "rolling_distinct_users": base + ",\n"
+        + _rolling_distinct_users_sql(),
         # temporal as-of enrich: latest versioned-registry row with
         # valid_from ≤ event ts (operators/asof.py; DuckDB native ASOF)
         "enrich_asof": enrich_asof_sql(),
@@ -453,6 +462,42 @@ WHERE r2.sink <> 'dlq' AND r2.node_id IS NOT NULL AND r2.event = 'read'
 GROUP BY 1, 2, wm.mx
 HAVING epoch_ms(date_trunc('day', min(r2.ts)) + INTERVAL 1 DAY)
        <= epoch_ms(wm.mx) - 3600000""",
+        # third streaming aggregate: session_window per-client counts;
+        # Spark merges INCLUSIVELY at the boundary (an event at exactly
+        # prev_ts + gap continues the session — verified in
+        # tests/test_streaming.py), so a session breaks only when the
+        # gap STRICTLY exceeds 30 min; session end = last event + gap,
+        # emitted once end <= final watermark (max ts - 1h)
+        "streaming_session_counts": base
+        + """, ev AS (
+  SELECT ip, conv_id, turn_idx, ts, event,
+         lag(ts) OVER (PARTITION BY ip ORDER BY ts, conv_id, turn_idx)
+           AS prev_ts
+  FROM r WHERE sink <> 'dlq' AND ip IS NOT NULL
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+  FROM ev
+),
+sess AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY ip ORDER BY ts, conv_id, turn_idx
+    ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+agg AS (
+  SELECT ip, sid, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         cast(count(*) AS bigint) AS n_events,
+         cast(sum(CASE WHEN event = 'read' THEN 1 ELSE 0 END) AS bigint)
+           AS n_reads
+  FROM sess GROUP BY ip, sid
+)
+SELECT session_start, session_end, ip, n_events, n_reads
+FROM agg, (SELECT max(ts) AS mx FROM r) wm
+WHERE epoch_ms(session_end) <= epoch_ms(wm.mx) - 3600000""",
         # E3 re-enrichment (MERGE analog): changed sysmeta for every 5th
         # doc pid overwrites the sysmeta-derived columns and stamps
         # date_updated; unmatched rows keep originals

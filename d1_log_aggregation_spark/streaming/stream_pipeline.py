@@ -298,3 +298,42 @@ def start_pipeline(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_session_counts(
+    routed: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked SESSION-window per-client event counts — the native
+    Structured Streaming form of operators/sessionize.py's gap-based
+    batch sessionization: ``session_window(ts, gap)`` opens [ts, ts+gap]
+    per event and merges overlapping-or-touching ranges per ip, so a
+    session breaks only when the inter-event gap STRICTLY exceeds
+    ``gap`` (an event at precisely prev_ts + gap CONTINUES the session —
+    boundary pinned in tests/test_streaming.py; the DuckDB twin mirrors
+    it).  Append mode emits a session
+    once the watermark passes its end (= last event ts + gap); state per
+    key is one open session — bounded regardless of event rate, with the
+    watermark closing idle sessions (the reference's Hazelcast
+    harvest-state TTL analog, SURVEY §2.5 W2)."""
+    return (
+        routed.filter(
+            (F.col("sink") != "dlq") & F.col("ip").isNotNull()
+        )
+        .groupBy(F.session_window("ts", gap), "ip")
+        # no countDistinct: distinct aggs are unsupported on streaming
+        # relations (the batch sessionize op carries the distinct-conv
+        # rollup); n_reads is the sum-mergeable per-session detail
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("event") == "read").cast("long")).alias(
+                "n_reads"
+            ),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "ip",
+            "n_events",
+            "n_reads",
+        )
+    )

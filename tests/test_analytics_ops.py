@@ -215,3 +215,98 @@ def test_gap_quantize_bounds_value_domain(spark):
         0: 0, 7: 7, 99: 99, 100: 100, 101: 100, 12345: 12000,
         999999999999: 990000000000,
     }
+
+
+def test_rolling_distinct_users_contribution_explode(spark):
+    """Exact trailing 7-day distinct users via contribution explode:
+    hand-built vector where the rolling count is NOT the sum of dailies
+    (overlapping users) and the window spans a calendar gap."""
+    from d1_log_aggregation_spark.operators.analytics import (
+        rolling_distinct_users,
+    )
+
+    rows = [
+        # day 1: u1, u2    day 2: u2    day 9: u1 (outside 7d of day 1/2)
+        ("c1", 0, "role_user", "user", "read", "u1", False, TS(2024, 1, 1)),
+        ("c1", 1, "role_user", "user", "read", "u2", False, TS(2024, 1, 1)),
+        ("c2", 0, "role_user", "user", "read", "u2", False, TS(2024, 1, 2)),
+        ("c3", 0, "role_user", "user", "read", "u1", False, TS(2024, 1, 9)),
+        ("c4", 0, "dlq", "user", "", "u9", False, TS(2024, 1, 1)),
+    ]
+    out = {
+        r["day"].day: (r["n_users_1d"], r["n_users_7d"])
+        for r in rolling_distinct_users(
+            spark.createDataFrame(rows, _COLS)
+        ).collect()
+    }
+    # day 1: {u1,u2}; day 2: daily {u2}, rolling {u1,u2} (u1 from day 1);
+    # day 9: day 2's u2 is 7 days back (outside a 7-day trailing window
+    # ending day 9: days 3..9), so rolling = {u1}; no row for gap days
+    assert out == {1: (2, 2), 2: (1, 2), 9: (1, 1)}
+
+
+def test_scd2_intervals(spark):
+    """SCD2 build: valid_to chains to the next change, newest row is
+    open + current, closed intervals measure whole days."""
+    from d1_log_aggregation_spark.operators.scd import scd2_intervals
+
+    rows = [
+        (1, "n1", 1, TS(2024, 1, 1)),
+        (1, "n1", 2, TS(2024, 1, 11)),
+        (1, "n1", 3, TS(2024, 2, 1)),
+        (2, "n2", 1, TS(2024, 1, 5)),
+    ]
+    df = spark.createDataFrame(
+        rows, "registry_key int, node_id string, version int,"
+        " valid_from timestamp"
+    )
+    out = {
+        (r["registry_key"], r["version"]): r
+        for r in scd2_intervals(df).collect()
+    }
+    assert out[(1, 1)]["valid_to"] == TS(2024, 1, 11)
+    assert out[(1, 1)]["valid_days"] == 10
+    assert not out[(1, 1)]["is_current"]
+    assert out[(1, 2)]["valid_to"] == TS(2024, 2, 1)
+    assert out[(1, 3)]["valid_to"] is None
+    assert out[(1, 3)]["is_current"]
+    assert out[(1, 3)]["valid_days"] is None
+    assert out[(2, 1)]["is_current"]
+
+
+def test_similar_docs_search_paths_agree(spark, tmp_path):
+    """Inverted-index doc search: the scratch / prebuilt-index /
+    lineage-persist paths return identical rankings, every hit really
+    shares shingles with its query, and ranks are 1..k per query."""
+    from d1_log_aggregation_spark.datapipe import dedup
+    from d1_log_aggregation_spark.datapipe.search import similar_docs_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key = lambda r: (r["query_id"], r["doc_id"], r["rank"])  # noqa: E731
+    base = sorted(map(key, similar_docs_topk(docs).collect()))
+    assert base, "search returned nothing"
+    via_scratch = sorted(
+        map(
+            key,
+            similar_docs_topk(
+                docs, scratch_dir=str(tmp_path / "s")
+            ).collect(),
+        )
+    )
+    idx = str(tmp_path / "idx")
+    dedup.write_shingle_index(docs, idx)
+    via_index = sorted(
+        map(key, similar_docs_topk(docs, index=idx).collect())
+    )
+    assert base == via_scratch == via_index
+    # rank sanity: per query, ranks are exactly 1..n (n ≤ k)
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for q, _, rank in base:
+        per_q[q].append(rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # no self-hits
+    assert all(q != d for q, d, _ in base)
+    spark.catalog.clearCache()

@@ -222,3 +222,51 @@ def test_start_pipeline_writes_cross_batch_flags(spark, tmp_path):
     # routing survived the stateful pass
     sinks = {r["sink"] for r in written.select("sink").distinct().collect()}
     assert sinks and "dlq" not in sinks
+
+
+def test_session_window_gap_boundary(spark):
+    """session_window semantics pinned on hand-built events (batch
+    execution of the same aggregate the streaming gate runs): events
+    merge while the inter-event gap is AT MOST the 30-min gap (Spark
+    merges overlapping-or-touching ranges: an event at exactly
+    prev + 30 min CONTINUES the session); a session breaks only on a
+    strictly larger gap, and session end = last event + gap.  The DuckDB
+    twin mirrors this boundary (oracle.py streaming_session_counts)."""
+    from d1_log_aggregation_spark.streaming.stream_pipeline import (
+        streaming_session_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    mins = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # ip A: 0, 29m59s, 59m59s (touching: exactly +30 from the 2nd)
+        # → ONE session; 90m00.000001s is strictly past +30 → NEW session
+        ("a", 0, "10.0.0.1", "read", "role_user", mins(0)),
+        ("a", 1, "10.0.0.1", "read", "role_user",
+         t0 + dt.timedelta(minutes=29, seconds=59)),
+        ("a", 2, "10.0.0.1", "create", "role_user",
+         t0 + dt.timedelta(minutes=59, seconds=59)),
+        ("a", 3, "10.0.0.1", "update", "role_user",
+         t0 + dt.timedelta(minutes=90, microseconds=1)),
+        # ip B: single event; dlq row must be excluded
+        ("b", 0, "10.0.0.2", "read", "role_user", mins(5)),
+        ("b", 1, "10.0.0.2", "", "dlq", mins(6)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, ip string, event string,"
+        " sink string, ts timestamp",
+    )
+    out = {
+        (r["ip"], r["session_start"]): r
+        for r in streaming_session_counts(df, "30 minutes").collect()
+    }
+    a1 = out[("10.0.0.1", mins(0))]
+    assert a1["n_events"] == 3 and a1["n_reads"] == 2
+    # session end = last event + gap
+    assert a1["session_end"] == t0 + dt.timedelta(minutes=89, seconds=59)
+    a2 = out[("10.0.0.1", t0 + dt.timedelta(minutes=90, microseconds=1))]
+    assert a2["n_events"] == 1 and a2["n_reads"] == 0
+    b = out[("10.0.0.2", mins(5))]
+    assert b["n_events"] == 1
+    assert len(out) == 3

@@ -56,6 +56,9 @@ TARGETS = [
     "embedding_stats",
     "multimodal_features",
     "multimodal_audio_features",
+    "simhash_pairs_scratch",
+    "rare_token_stats_scratch",
+    "rolling_distinct_users",
 ]
 
 PATTERNS = {
@@ -115,7 +118,43 @@ def _overrides() -> dict:
             load_corpus(s, d), scratch_dir=_scratch("plans_lsh_")
         ),
         "dedup_against_indexed": _dedup_against_indexed,
+        # simhash_pairs / rare_token_stats gate fns collect-detach too
+        # (scratch mode): report the lineage-persist plan under the
+        # original name and the production scratch final plan as
+        # *_scratch
+        "simhash_pairs": lambda s, d: _dp_dedup().simhash_pairs(
+            _load_corpus()(s, d)
+        ),
+        "simhash_pairs_scratch": lambda s, d: _dp_dedup().simhash_pairs(
+            _load_corpus()(s, d), scratch_dir=_scratch("plans_shp_")
+        ),
+        "rare_token_stats": lambda s, d: _dp_text().rare_token_stats(
+            s.read.parquet(f"{d}/documents.parquet")
+        ),
+        "rare_token_stats_scratch":
+            lambda s, d: _dp_text().rare_token_stats(
+                s.read.parquet(f"{d}/documents.parquet"),
+                scratch_dir=_scratch("plans_rts_"),
+            ),
     }
+
+
+def _dp_dedup():
+    from d1_log_aggregation_spark.datapipe import dedup
+
+    return dedup
+
+
+def _dp_text():
+    from d1_log_aggregation_spark.datapipe import textstats
+
+    return textstats
+
+
+def _load_corpus():
+    from d1_log_aggregation_spark.datapipe.corpus import load_corpus
+
+    return load_corpus
 
 
 def _dedup_against_indexed(s, d):
