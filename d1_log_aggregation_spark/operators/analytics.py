@@ -586,19 +586,26 @@ def rolling_distinct_users(
     days WITH activity (both engines key the output on the active-day
     relation; trailing windows still look across calendar gaps because
     contribution targets are day NUMBERS, not row offsets — see
-    rolling_node_reads for the RANGE-frame treatment of gap days)."""
+    rolling_node_reads for the RANGE-frame treatment of gap days).
+
+    SINGLE DERIVATION: daily and rolling counts come from ONE aggregate
+    over the exploded contributions — n_users_1d counts only the
+    self-contribution (target == own day), and days without their own
+    activity are dropped by the n_users_1d > 0 filter.  Catalyst shares
+    no subtrees across plan references, so the separate
+    days/daily/rolled relations of the first cut re-executed the whole
+    upstream pipeline 3× (46 scans / 31 exchanges vs 16/11 for this
+    form, PLANS.md — the node_staleness lesson)."""
     active = (
         routed.filter((F.col("sink") != "dlq") & (F.col("subj") != ""))
         .select(
-            F.date_trunc("day", F.col("ts")).alias("day"), "subj"
+            "subj",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit(ROLLING_EPOCH).cast("date"),
+            ).alias("day_num"),
         )
         .distinct()
-        .withColumn(
-            "day_num",
-            F.datediff(
-                F.col("day").cast("date"), F.lit(ROLLING_EPOCH).cast("date")
-            ),
-        )
     )
     contrib = active.select(
         "subj",
@@ -608,23 +615,24 @@ def rolling_distinct_users(
                 F.col("day_num"),
                 F.col("day_num") + F.lit(window_days - 1),
             )
-        ).alias("target_day_num"),
-    )
-    # only calendar days that exist in the data may appear in the output
-    days = active.select("day", "day_num").distinct()
-    daily = active.groupBy("day_num").agg(
-        F.countDistinct("subj").alias("n_users_1d")
-    )
-    rolled = contrib.groupBy("target_day_num").agg(
-        F.countDistinct("subj").alias(f"n_users_{window_days}d")
+        ).alias("td"),
     )
     return (
-        days.join(
-            rolled,
-            days["day_num"] == rolled["target_day_num"],
+        contrib.groupBy("td")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day_num") == F.col("td"), F.col("subj"))
+            ).alias("n_users_1d"),
+            F.countDistinct("subj").alias(f"n_users_{window_days}d"),
         )
-        .join(daily, "day_num")  # every active day has a daily row
-        .select("day", "n_users_1d", f"n_users_{window_days}d")
+        .filter(F.col("n_users_1d") > 0)
+        .select(
+            F.date_add(F.lit(ROLLING_EPOCH).cast("date"), F.col("td"))
+            .cast("timestamp")
+            .alias("day"),
+            "n_users_1d",
+            f"n_users_{window_days}d",
+        )
     )
 
 
