@@ -220,6 +220,30 @@ def _q_reenriched_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_transcripts_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family ingest source: transcripts round-tripped through the
+    JSONL landing zone (sources.py) — schema-enforced PERMISSIVE read
+    with corrupt-record DLQ routing; the good-side relation must be
+    byte-equal to the parquet transcripts (same oracle)."""
+    import shutil
+    import tempfile
+
+    from d1_log_aggregation_spark import sources
+
+    d = tempfile.mkdtemp(prefix="gate_jsonl_")
+    try:
+        sources.write_transcripts_jsonl(
+            load_transcripts(spark, sf_dir), d
+        )
+        good, _dlq = sources.read_transcripts_jsonl(spark, d)
+        out = good.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_scd2_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build (operators/scd.py): the versioned-registry
     change log rolled into [valid_from, valid_to) intervals + is_current
@@ -524,6 +548,17 @@ def _q_conv_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_funnel(_routed(spark, sf_dir))
 
 
+def _q_cms_pid_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch top-k pid read estimates beside exact counts —
+    the mergeable-sketch family's second member, with a FULL value
+    oracle (deterministic md5 cell hashing)."""
+    from d1_log_aggregation_spark.operators.analytics import (
+        cms_pid_estimates,
+    )
+
+    return cms_pid_estimates(_routed(spark, sf_dir))
+
+
 def _q_approx_distinct_subjects(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -769,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_docs_topk": _q_similar_docs_topk,
         "streaming_session_counts": _q_streaming_session_counts,
         "scd2_registry": _q_scd2_registry,
+        "transcripts_jsonl": _q_transcripts_jsonl,
+        "cms_pid_estimates": _q_cms_pid_estimates,
         # --- representative pipeline core --------------------------------
         "transcripts": _q_transcripts,
         "dedup_turns": _q_dedup,
@@ -894,4 +931,6 @@ def oracle_sql() -> dict[str, str]:
             "embedding_stats": dp_oracle.embedding_stats_sql(),
         }
     )
+    # the JSONL round-trip must reproduce the parquet transcripts exactly
+    out["transcripts_jsonl"] = out["transcripts"]
     return out

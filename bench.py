@@ -259,6 +259,13 @@ def run_round_ops(spark) -> dict:
 
         return rolling_distinct_users
 
+    def _cms():
+        from d1_log_aggregation_spark.operators.analytics import (
+            cms_pid_estimates,
+        )
+
+        return cms_pid_estimates
+
     routed = spark.read.parquet("/tmp/bench_routed.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -291,6 +298,7 @@ def run_round_ops(spark) -> dict:
             ),
             "rolling_distinct_users":
                 lambda: _rolling_distinct_users()(routed),
+            "cms_pid_estimates": lambda: _cms()(routed),
         }
         for name, fn in jobs.items():
             for _ in range(2):

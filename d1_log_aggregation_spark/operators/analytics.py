@@ -669,3 +669,120 @@ FROM days d
 JOIN rolled r2 ON d.day_num = r2.day_num
 JOIN daily dy ON d.day_num = dy.day_num
 """
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPK = 20
+
+
+def _cms_cell(col: Column, j: int, width: int) -> Column:
+    from ..datapipe.dedup import hash32
+
+    return F.pmod(
+        hash32(F.concat(F.lit(f"cms{j}:"), col)), F.lit(width)
+    )
+
+
+def cms_pid_estimates(
+    routed: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """(pid, exact_n, cms_estimate, rank): Count-Min-Sketch read-count
+    estimates for the top-k pids next to the exact counts — the second
+    mergeable-sketch operator beside HLL (approx_distinct_subjects), but
+    with a FULL value oracle: the md5-derived cell hashing is
+    deterministic, so both engines materialize the identical d×w count
+    matrix and the identical min-over-rows estimates.
+
+    At 100 TB the sketch is the point: the CMS table is a fixed
+    depth×width integer matrix (d·w cells regardless of pid cardinality)
+    built in ONE pass with map-side combine — each task reduces its rows
+    to ≤ d·w partial cells before the shuffle, and per-partition/daily
+    sketches merge by cell-wise addition (the property exact top-k
+    lacks).  The ×depth explode multiplies the event stream but
+    collapses inside the partial aggregate; the estimate join probes the
+    BROADCAST sketch (d·w rows) with k·depth probe rows.  Guarantee:
+    estimate ≥ exact always; overestimate ≤ εN w.h.p. (ε = e/width),
+    bounded in pytest."""
+    ev = routed.filter(
+        (F.col("sink") != "dlq") & (F.col("pid") != "")
+    ).select("pid")
+    probes_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("d"),
+                _cms_cell(F.col("pid"), j, width).alias("w"),
+            )
+            for j in range(depth)
+        ]
+    )
+    cms = (
+        ev.select(F.explode(probes_arr).alias("c"))
+        .select("c.d", "c.w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact = ev.groupBy("pid").agg(F.count(F.lit(1)).alias("exact_n"))
+    # TakeOrdered first (distributed top-k, the vocab_topk pattern), THEN
+    # the rank window over ≤ k rows — an unpartitioned row_number over
+    # the full pid-cardinality relation would sort it in one task
+    rank_w = Window.orderBy(F.desc("exact_n"), F.asc("pid"))
+    topk = (
+        exact.orderBy(F.desc("exact_n"), F.asc("pid"))
+        .limit(k)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+    )
+    probes = topk.select(
+        "pid", "exact_n", "rank", F.explode(probes_arr).alias("c")
+    ).select("pid", "exact_n", "rank", "c.d", "c.w")
+    return (
+        probes.join(F.broadcast(cms), ["d", "w"])
+        .groupBy("pid", "exact_n", "rank")
+        .agg(F.min("n").alias("cms_estimate"))
+        .select("pid", "exact_n", "cms_estimate", "rank")
+    )
+
+
+def cms_pid_estimates_sql(
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH, k: int = CMS_TOPK
+) -> str:
+    """Twin over the routed CTE ``r`` (identical md5 cell hashing;
+    UNION-ALL depth rows as the independent formulation of the explode)."""
+    cell = (
+        "try_cast(('0x' || substr(md5('cms{j}:' || pid), 1, 8)) AS bigint)"
+        f" % {width}"
+    )
+    depth_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS d, {cell.format(j=j)} AS w, pid FROM ev"
+        for j in range(depth)
+    )
+    return f"""
+ev AS (SELECT pid FROM r WHERE sink <> 'dlq' AND pid <> ''),
+cellrows AS (
+{depth_rows}
+),
+cms AS (
+  SELECT d, w, cast(count(*) AS bigint) AS n
+  FROM cellrows GROUP BY d, w
+),
+exact AS (
+  SELECT pid, cast(count(*) AS bigint) AS exact_n FROM ev GROUP BY pid
+),
+topk AS (
+  SELECT pid, exact_n,
+         cast(row_number() OVER (ORDER BY exact_n DESC, pid ASC)
+              AS bigint) AS rank
+  FROM exact QUALIFY rank <= {k}
+),
+probes AS (
+  SELECT t.pid, t.exact_n, t.rank, c.d, c.w
+  FROM topk t JOIN cellrows c ON c.pid = t.pid
+  GROUP BY ALL
+)
+SELECT p.pid, p.exact_n, cast(min(m.n) AS bigint) AS cms_estimate, p.rank
+FROM probes p JOIN cms m ON p.d = m.d AND p.w = m.w
+GROUP BY p.pid, p.exact_n, p.rank
+"""

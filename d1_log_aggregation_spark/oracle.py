@@ -275,6 +275,12 @@ def _conv_funnel_sql() -> str:
     return conv_funnel_sql()
 
 
+def _cms_pid_estimates_sql() -> str:
+    from .operators.analytics import cms_pid_estimates_sql
+
+    return cms_pid_estimates_sql()
+
+
 def _rolling_distinct_users_sql() -> str:
     from .operators.analytics import rolling_distinct_users_sql
 
@@ -416,6 +422,9 @@ ORDER BY conv_id""",
         # exact daily + trailing 7-day distinct active users
         "rolling_distinct_users": base + ",\n"
         + _rolling_distinct_users_sql(),
+        # Count-Min-Sketch top-k estimates (deterministic md5 cells:
+        # FULL value oracle, unlike the HLL rows-only op)
+        "cms_pid_estimates": base + ",\n" + _cms_pid_estimates_sql(),
         # temporal as-of enrich: latest versioned-registry row with
         # valid_from ≤ event ts (operators/asof.py; DuckDB native ASOF)
         "enrich_asof": enrich_asof_sql(),

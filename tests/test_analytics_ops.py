@@ -310,3 +310,41 @@ def test_similar_docs_search_paths_agree(spark, tmp_path):
     # no self-hits
     assert all(q != d for q, d, _ in base)
     spark.catalog.clearCache()
+
+
+def test_cms_overestimate_property_and_bound(spark):
+    """Count-Min-Sketch invariants on the sf0.001 pipeline: the estimate
+    NEVER undercounts (min over d rows of a cell the pid hashed into),
+    and the overestimate stays within the ε·N w.h.p. bound
+    (ε = e/width) with a generous ×4 slack — at width 256 vs ~1k events
+    the bound is loose, but a hashing bug blows it by orders."""
+    import math
+
+    from d1_log_aggregation_spark.operators.analytics import (
+        CMS_WIDTH,
+        cms_pid_estimates,
+    )
+    from d1_log_aggregation_spark.oracle import (
+        SF_REPEAT_INTERVAL_SECONDS,
+    )
+    from d1_log_aggregation_spark.pipeline import run_from_dir
+
+    routed = run_from_dir(
+        spark,
+        SF_TINY,
+        PipelineConfig(
+            repeat_visit_interval_seconds=SF_REPEAT_INTERVAL_SECONDS,
+            with_geohash=False,
+        ),
+    )
+    rows = cms_pid_estimates(routed).collect()
+    assert len(rows) == 20
+    n_total = routed.filter(
+        (F.col("sink") != "dlq") & (F.col("pid") != "")
+    ).count()
+    eps = math.e / CMS_WIDTH
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"], r
+        assert r["cms_estimate"] - r["exact_n"] <= 4 * eps * n_total, r
+    # ranks are exactly 1..20, ordered by exact count
+    assert sorted(r["rank"] for r in rows) == list(range(1, 21))

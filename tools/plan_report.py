@@ -59,6 +59,8 @@ TARGETS = [
     "simhash_pairs_scratch",
     "rare_token_stats_scratch",
     "rolling_distinct_users",
+    "cms_pid_estimates",
+    "similar_docs_topk_scratch",
 ]
 
 PATTERNS = {
@@ -136,7 +138,17 @@ def _overrides() -> dict:
                 s.read.parquet(f"{d}/documents.parquet"),
                 scratch_dir=_scratch("plans_rts_"),
             ),
+        "similar_docs_topk_scratch": _similar_docs_scratch,
     }
+
+
+def _similar_docs_scratch(s, d):
+    from d1_log_aggregation_spark.datapipe.corpus import load_corpus
+    from d1_log_aggregation_spark.datapipe.search import similar_docs_topk
+
+    return similar_docs_topk(
+        load_corpus(s, d), query_mod=10, scratch_dir=_scratch("plans_sd_")
+    )
 
 
 def _dp_dedup():
