@@ -104,6 +104,31 @@ def _q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select(*cols)
 
 
+def _q_routed_rows_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink layout compaction (sinks/layout.py): the routed table
+    rewritten range-clustered + sorted on (conv_id, turn_idx) must be a
+    PURE rewrite — same oracle as routed_rows.  Clustering quality
+    itself is pytest-audited from parquet footer stats
+    (tests/test_layout.py)."""
+    import shutil
+    import tempfile
+
+    from d1_log_aggregation_spark.sinks.layout import optimize_layout
+
+    cols = [c for c in ROUTED_COLUMNS if c != "read_subjects"]
+    d = tempfile.mkdtemp(prefix="gate_layout_")
+    try:
+        optimize_layout(
+            _routed(spark, sf_dir).select(*cols), d, n_files=8
+        )
+        out = spark.read.parquet(d).select(*cols)
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _run_streaming_gate(
     spark: SparkSession, sf_dir: str, build_agg
 ) -> DataFrame:
@@ -806,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_registry": _q_scd2_registry,
         "transcripts_jsonl": _q_transcripts_jsonl,
         "cms_pid_estimates": _q_cms_pid_estimates,
+        "routed_rows_clustered": _q_routed_rows_clustered,
         # --- representative pipeline core --------------------------------
         "transcripts": _q_transcripts,
         "dedup_turns": _q_dedup,
@@ -931,6 +957,8 @@ def oracle_sql() -> dict[str, str]:
             "embedding_stats": dp_oracle.embedding_stats_sql(),
         }
     )
-    # the JSONL round-trip must reproduce the parquet transcripts exactly
+    # the JSONL round-trip must reproduce the parquet transcripts
+    # exactly; the clustered layout rewrite must reproduce routed_rows
     out["transcripts_jsonl"] = out["transcripts"]
+    out["routed_rows_clustered"] = out["routed_rows"]
     return out

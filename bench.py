@@ -300,6 +300,19 @@ def run_round_ops(spark) -> dict:
                 lambda: _rolling_distinct_users()(routed),
             "cms_pid_estimates": lambda: _cms()(routed),
         }
+        # layout rewrite is a writer, not a noop-materialize job: time
+        # the range-cluster + sort + parquet write of the routed table
+        from d1_log_aggregation_spark.sinks.layout import optimize_layout
+
+        for _ in range(1):
+            optimize_layout(routed, scratch.fresh(), n_files=32)
+        best = None
+        for _ in range(2):
+            t = time.monotonic()
+            optimize_layout(routed, scratch.fresh(), n_files=32)
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        out["sink_layout_rewrite"] = round(best, 3)
         for name, fn in jobs.items():
             for _ in range(2):
                 _mat(fn())
