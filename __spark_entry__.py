@@ -674,6 +674,17 @@ def _q_rare_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (bigram) novelty quality signal on its PRODUCTION
+    path (exploded bigram relation materialized to scratch parquet)."""
+    return _scratch_detached(
+        spark,
+        lambda d: dp_text.bigram_novelty(
+            _docs(spark, sf_dir), scratch_dir=d
+        ),
+    )
+
+
 def _q_turn_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d1_log_aggregation_spark.operators.analytics import (
         turn_gap_quantiles,
@@ -832,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_jsonl": _q_transcripts_jsonl,
         "cms_pid_estimates": _q_cms_pid_estimates,
         "routed_rows_clustered": _q_routed_rows_clustered,
+        "bigram_novelty": _q_bigram_novelty,
         # --- representative pipeline core --------------------------------
         "transcripts": _q_transcripts,
         "dedup_turns": _q_dedup,
@@ -952,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
             "merge_pair_counts": dp_text.merge_pair_counts_sql(k=50),
             "mixture_weights": dp_text.mixture_weights_sql(),
             "rare_token_stats": dp_text.rare_token_stats_sql(),
+            "bigram_novelty": dp_text.bigram_novelty_sql(),
             "corpus_split": dp_sampling.corpus_split_sql("documents"),
             "quality_rule_stats": dp_text.quality_rule_stats_sql(),
             "embedding_stats": dp_oracle.embedding_stats_sql(),

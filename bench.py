@@ -299,6 +299,9 @@ def run_round_ops(spark) -> dict:
             "rolling_distinct_users":
                 lambda: _rolling_distinct_users()(routed),
             "cms_pid_estimates": lambda: _cms()(routed),
+            "bigram_novelty": lambda: dp_text.bigram_novelty(
+                docs, scratch_dir=scratch.fresh()
+            ),
         }
         # layout rewrite is a writer, not a noop-materialize job: time
         # the range-cluster + sort + parquet write of the routed table

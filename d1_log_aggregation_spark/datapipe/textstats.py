@@ -786,3 +786,104 @@ SELECT lang_id, cast(count(*) AS bigint) AS n_docs,
          AS n_quality_ok
 FROM rules GROUP BY lang_id
 """
+
+
+BIGRAM_MIN_DF = 2
+
+
+def bigram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = BIGRAM_MIN_DF,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_novel, novelty_ratio): per-document count of
+    DISTINCT adjacent-token bigrams whose corpus document frequency is
+    below ``min_df`` — the second-order fluency/novelty signal next to
+    rare_token_stats' unigram rarity (a doc whose WORDS are common but
+    whose word SEQUENCES are corpus-unseen is the classic fluent-spam /
+    template-stitching shape; it is also the cheap stand-in for LM
+    perplexity that stays integer-exact cross-engine).  Docs with < 2
+    tokens have no bigrams and drop out (both engines).
+
+    Same two-pass plan family as rare_token_stats: explode distinct
+    bigrams per doc (pairs built over a MATERIALIZED token array — an
+    inline split inside the lambda would re-tokenize per element), df
+    aggregate on the bigram key, hash-join back, per-doc aggregate.
+    ``scratch_dir`` materializes the exploded bigram relation feeding
+    both join sides (fresh-dir-per-call contract); without it the
+    relation is persisted for the session."""
+    toks_col = F.filter(
+        F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
+    )
+    with_toks = docs.select("doc_id", F.col(text_col)).withColumn(
+        "_toks", toks_col
+    )
+    n = F.size(F.col("_toks"))
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("_toks"), i),
+                F.element_at(F.col("_toks"), i + 1),
+            ),
+        )
+    )
+    bg = with_toks.select("doc_id", F.explode(pairs).alias("bigram"))
+    if scratch_dir is not None:
+        spark = docs.sparkSession
+        bg.write.mode("overwrite").parquet(f"{scratch_dir}/bigrams")
+        bg = spark.read.parquet(f"{scratch_dir}/bigrams")
+    else:
+        from pyspark import StorageLevel
+
+        bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
+    df_rel = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        bg.join(df_rel, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("df") < min_df).cast("long")).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_ratio", F.col("n_novel") / F.col("n_bigrams")
+        )
+    )
+
+
+def bigram_novelty_sql(
+    src: str = "documents", text_col: str = "text",
+    min_df: int = BIGRAM_MIN_DF,
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+  FROM {src}
+),
+bg0 AS (
+  SELECT doc_id,
+         unnest(list_distinct(CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])
+           ELSE [] END)) AS bigram
+  FROM tk
+),
+dfr AS (
+  SELECT bigram, cast(count(*) AS bigint) AS df FROM bg0 GROUP BY bigram
+)
+SELECT b.doc_id,
+       cast(count(*) AS bigint) AS n_bigrams,
+       cast(sum(CASE WHEN d.df < {min_df} THEN 1 ELSE 0 END) AS bigint)
+         AS n_novel,
+       sum(CASE WHEN d.df < {min_df} THEN 1 ELSE 0 END) * 1.0 / count(*)
+         AS novelty_ratio
+FROM bg0 b JOIN dfr d ON b.bigram = d.bigram
+GROUP BY b.doc_id
+"""

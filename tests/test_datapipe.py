@@ -514,3 +514,38 @@ def test_audio_modality_decode_and_guards(spark):
     # real codec paths stay honestly stubbed
     with _pytest.raises(NotImplementedError):
         multimodal.extract_audio_features(media, fake=False)
+
+
+def test_bigram_novelty_semantics(spark, tmp_path):
+    """Bigram novelty on hand-built docs: shared sequences are not
+    novel, reordered words are (the fluent-spam shape rare_token_stats
+    can't see); scratch and persist paths agree; <2-token docs drop."""
+    from d1_log_aggregation_spark.datapipe.textstats import bigram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox"),      # all bigrams shared with 1
+            (3, "fox brown quick the"),      # same WORDS, novel ORDER
+            (4, "single"),                   # no bigrams → no row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_novelty(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    # docs 1/2 share every bigram (df=2 ≥ min_df) → nothing novel
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_novel"] == 0
+    assert out[2]["n_novel"] == 0
+    # doc 3's reversed bigrams are corpus-unique → all novel
+    assert out[3]["n_bigrams"] == 3 and out[3]["n_novel"] == 3
+    assert out[3]["novelty_ratio"] == 1.0
+    spark.catalog.clearCache()
+    via_scratch = {
+        r["doc_id"]: tuple(r)
+        for r in bigram_novelty(
+            docs, scratch_dir=str(tmp_path / "bg")
+        ).collect()
+    }
+    assert via_scratch == {k: tuple(v) for k, v in out.items()}
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 0

@@ -61,6 +61,7 @@ TARGETS = [
     "rolling_distinct_users",
     "cms_pid_estimates",
     "similar_docs_topk_scratch",
+    "bigram_novelty_scratch",
 ]
 
 PATTERNS = {
@@ -139,6 +140,11 @@ def _overrides() -> dict:
                 scratch_dir=_scratch("plans_rts_"),
             ),
         "similar_docs_topk_scratch": _similar_docs_scratch,
+        "bigram_novelty_scratch":
+            lambda s, d: _dp_text().bigram_novelty(
+                s.read.parquet(f"{d}/documents.parquet"),
+                scratch_dir=_scratch("plans_bgn_"),
+            ),
     }
 
 
