@@ -699,14 +699,17 @@ def cms_pid_estimates(
 
     At 100 TB the sketch is the point: the CMS table is a fixed
     depth×width integer matrix (d·w cells regardless of pid cardinality)
-    built in ONE pass with map-side combine — each task reduces its rows
-    to ≤ d·w partial cells before the shuffle, and per-partition/daily
-    sketches merge by cell-wise addition (the property exact top-k
-    lacks).  The ×depth explode multiplies the event stream but
-    collapses inside the partial aggregate; the estimate join probes the
-    BROADCAST sketch (d·w rows) with k·depth probe rows.  Guarantee:
-    estimate ≥ exact always; overestimate ≤ εN w.h.p. (ε = e/width),
-    bounded in pytest."""
+    and per-partition/daily sketches merge by cell-wise addition (the
+    property exact top-k lacks).  Plan: ONE corpus aggregate to the
+    pid-cardinality (pid, exact_n) relation; the cells come from a
+    ×depth explode of THAT AGGREGATE weighted by exact_n (cell count =
+    Σ exact_n over pids hashing into the cell — identical numbers, but
+    the explode multiplies the pid relation, never the event stream),
+    and the estimate join probes the BROADCAST sketch (d·w rows) with
+    k·depth probe rows.  The DuckDB twin deliberately builds cells from
+    the RAW event rows — independent derivation of the same matrix.
+    Guarantee: estimate ≥ exact always; overestimate ≤ εN w.h.p.
+    (ε = e/width), bounded in pytest."""
     ev = routed.filter(
         (F.col("sink") != "dlq") & (F.col("pid") != "")
     ).select("pid")
@@ -719,13 +722,12 @@ def cms_pid_estimates(
             for j in range(depth)
         ]
     )
-    cms = (
-        ev.select(F.explode(probes_arr).alias("c"))
-        .select("c.d", "c.w")
-        .groupBy("d", "w")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
     exact = ev.groupBy("pid").agg(F.count(F.lit(1)).alias("exact_n"))
+    cms = (
+        exact.select(F.explode(probes_arr).alias("c"), "exact_n")
+        .groupBy("c.d", "c.w")
+        .agg(F.sum("exact_n").alias("n"))
+    )
     # TakeOrdered first (distributed top-k, the vocab_topk pattern), THEN
     # the rank window over ≤ k rows — an unpartitioned row_number over
     # the full pid-cardinality relation would sort it in one task
