@@ -258,9 +258,11 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     reductions) is identical for both paths and is what the oracle
     checks.
 
-    Stats are exact-integer (peak, zero-cross, sum, sum-of-squares in
-    int64) with mean/rms as ONE float op from exact ints — bit-identical
-    to the DuckDB twin."""
+    Stats are exact-integer (peak, zero-cross, sum, sum-of-squares
+    accumulated with np.add.at on int64 arrays — unbuffered integer
+    adds, never float64-weighted bincount whose exactness would break
+    past 2^53) with mean/rms as ONE float op from exact ints —
+    bit-identical to the DuckDB twin."""
     if not fake:
         raise NotImplementedError(
             "real audio decode requires ffmpeg/soundfile — not available "
@@ -284,6 +286,11 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
             body = lens - AUDIO_HEADER_BYTES
             if np.any(body % 2 != 0):
                 raise ValueError("odd waveform byte count (int16 samples)")
+            if np.any(body == 0):
+                # 0-sample body → mean_s/rms would divide by zero and
+                # emit NaN rows the DuckDB twin's inner join drops —
+                # refuse instead (matches the image decoder's style)
+                raise ValueError("audio payload has an empty waveform body")
             flat = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
             starts = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(lens, out=starts[1:])
@@ -312,10 +319,10 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
             n_samples = body // 2
             peak = np.zeros(n, dtype=np.int64)
             np.maximum.at(peak, sr, np.abs(s))
-            sums = np.bincount(sr, weights=s.astype(np.float64),
-                               minlength=n).astype(np.int64)
-            sumsq = np.bincount(sr, weights=(s * s).astype(np.float64),
-                                minlength=n).astype(np.int64)
+            sums = np.zeros(n, dtype=np.int64)
+            np.add.at(sums, sr, s)
+            sumsq = np.zeros(n, dtype=np.int64)
+            np.add.at(sumsq, sr, s * s)
             # zero crossings: adjacent samples of the SAME row whose sign
             # (s < 0) differs — one vectorized comparison over the batch
             neg = s < 0

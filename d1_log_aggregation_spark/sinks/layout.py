@@ -60,11 +60,19 @@ def clustering_stats(
     import pyarrow.parquet as pq
 
     spans = []
+    n_no_stats = 0
     for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
         md = pq.ParquetFile(f).metadata
         idx = md.schema.to_arrow_schema().get_field_index(cluster_col)
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
+            # stats can be absent (writer disabled them, or the physical
+            # type doesn't support min/max); string min/max may also be
+            # writer-truncated — count such groups separately instead of
+            # crashing or reporting misleading spans
+            if st is None or not st.has_min_max:
+                n_no_stats += 1
+                continue
             spans.append((st.min, st.max))
     spans.sort()
     n = len(spans)
@@ -77,6 +85,7 @@ def clustering_stats(
                 overlaps += 1
     return {
         "n_row_groups": n,
+        "n_row_groups_without_stats": n_no_stats,
         "avg_overlapping_row_groups": overlaps / n if n else 0.0,
         "disjoint": all(
             spans[i][1] < spans[i + 1][0] for i in range(n - 1)

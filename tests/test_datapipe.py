@@ -499,6 +499,11 @@ def test_audio_modality_decode_and_guards(spark):
         run_audio(bytes([0xFF, 1, 0, 0]) + b"\x00\x00")
     with _pytest.raises(Exception, match="odd"):
         run_audio(bytes([0xA1, 1, 0, 0]) + b"\x00")
+    # structurally valid 4-byte header with NO samples: mean/rms would be
+    # NaN (0/0) while the DuckDB twin's inner join drops the doc — a
+    # silent cross-engine divergence; the decoder must refuse (ADVICE r4)
+    with _pytest.raises(Exception, match="empty waveform"):
+        run_audio(bytes([0xA1, 1, 0, 0]))
     # the image decoder guards too (ADVICE r3: short payload / channels=0)
     def run_image(pl):
         bad = spark.createDataFrame(

@@ -71,3 +71,21 @@ def test_layout_preserves_rows_and_clusters_row_groups(spark, tmp_path):
     # but are spread across ~all raw files
     assert opt_files <= 2
     assert raw_files >= 4
+
+def test_clustering_stats_tolerates_missing_statistics(tmp_path):
+    """ADVICE r4: row-group statistics can be None (writer disabled) —
+    the audit must count such groups separately, not crash."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"conv_id": ["a", "b", "c"], "x": [1, 2, 3]})
+    dest = tmp_path / "nostats"
+    dest.mkdir()
+    pq.write_table(
+        t, dest / "part-00000.parquet", write_statistics=False
+    )
+    pq.write_table(t, dest / "part-00001.parquet")  # stats on
+    s = clustering_stats(None, str(dest))
+    assert s["n_row_groups"] == 1
+    assert s["n_row_groups_without_stats"] == 1
+    assert s["disjoint"] is True
