@@ -109,36 +109,49 @@ def run_once(
     for _ in range(2):
         _mat(routed())
 
-    queries = {}
+    # Every headline row is warm-up + min-of-N with the PER-REP times kept
+    # in the artifact (VERDICT r4 item 1: the r4 driver run recorded
+    # 2.5-3.7× regressions that a quiet-box rerun of the same code could
+    # not reproduce; a single cold sample cannot distinguish a code
+    # regression from neighbor load — the rep spread can).
+    queries: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     t_all = time.monotonic()
 
-    reps = 5 if replicate > 1 else 3
-    best = None
-    for _ in range(reps):
-        t = time.monotonic()
-        r = routed()
-        _mat(r)
-        dt = time.monotonic() - t
-        best = dt if best is None else min(best, dt)
-    queries["pipeline_routed_full"] = round(best, 3)
+    def timed(name: str, fn, reps: int) -> None:
+        samples = []
+        for _ in range(reps):
+            t = time.monotonic()
+            fn()
+            samples.append(round(time.monotonic() - t, 3))
+        rep_times[name] = samples
+        queries[name] = min(samples)
 
-    # ONE pipeline execution lands in the real sink (timed), and the
+    timed(
+        "pipeline_routed_full",
+        lambda: _mat(routed()),
+        reps=5 if replicate > 1 else 3,
+    )
+
+    # Pipeline executions landing in the real sink (timed), and the
     # aggregates run over the WRITTEN table — the production decomposition
     # (r1 bench triple-executed the pipeline for each aggregate, inflating
-    # "value" 3×)
+    # "value" 3×).  The write is idempotent (mode=overwrite), so min-of-3
+    # measures the same work each rep.
     sink_path = f"/tmp/bench_routed{tag}.parquet"
-    t = time.monotonic()
-    routed().write.mode("overwrite").partitionBy("sink").parquet(sink_path)
-    queries["sink_write_parquet"] = round(time.monotonic() - t, 3)
+
+    def write_sink() -> None:
+        routed().write.mode("overwrite").partitionBy("sink").parquet(
+            sink_path
+        )
+
+    timed("sink_write_parquet", write_sink, reps=3)
 
     written = spark.read.parquet(sink_path)
-    t = time.monotonic()
-    _mat(sink_counts(written))
-    queries["sink_counts"] = round(time.monotonic() - t, 3)
-
-    t = time.monotonic()
-    _mat(harvest_metrics(written))
-    queries["harvest_metrics"] = round(time.monotonic() - t, 3)
+    for _ in range(1):  # warm the written-table scan
+        _mat(sink_counts(written))
+    timed("sink_counts", lambda: _mat(sink_counts(written)), reps=3)
+    timed("harvest_metrics", lambda: _mat(harvest_metrics(written)), reps=3)
 
     total = round(time.monotonic() - t_all, 3)
     n_routed = written.count()
@@ -149,6 +162,7 @@ def run_once(
         "n_turns": n_turns,
         "n_routed": n_routed,
         "queries": queries,
+        "rep_times": rep_times,
         "throughput_turns_per_sec": round(
             n_turns / queries["pipeline_routed_full"], 1
         ),
@@ -417,23 +431,26 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
         "simhash_pairs": lambda d: dedup.simhash_pairs(d),
         "corpus_deduped": lambda d: dedup.corpus_deduped(d),
         # the production materialized-index path: growth includes the
-        # parquet index writes (the real cost structure at scale)
+        # parquet index writes (the real cost structure at scale);
+        # scratch dirs tracked + removed via _ScratchDirs (each holds a
+        # corpus-scale parquet index — leaking them fills /tmp)
         "corpus_deduped_scratch": lambda d: dedup.corpus_deduped(
-            d, scratch_dir=tempfile.mkdtemp(prefix="bench_cds_scale_")
+            d, scratch_dir=scratch.fresh()
         ),
     }
     out = {"n_docs_1x": n_docs, "n_docs_scaled": n_scaled, "factor": factor}
-    for name, fn in jobs.items():
-        for df, tag in ((base, "1x"), (scaled, f"{factor}x")):
-            for _ in range(1 if tag != "1x" else 2):
+    with _ScratchDirs("bench_cds_scale_") as scratch:
+        for name, fn in jobs.items():
+            for df, tag in ((base, "1x"), (scaled, f"{factor}x")):
+                for _ in range(1 if tag != "1x" else 2):
+                    _mat(fn(df))
+                t = time.monotonic()
                 _mat(fn(df))
-            t = time.monotonic()
-            _mat(fn(df))
-            out[f"{name}_{tag}_sec"] = round(time.monotonic() - t, 3)
-            spark.catalog.clearCache()  # drop the op's internal persists
-        out[f"{name}_growth"] = round(
-            out[f"{name}_{factor}x_sec"] / out[f"{name}_1x_sec"], 2
-        )
+                out[f"{name}_{tag}_sec"] = round(time.monotonic() - t, 3)
+                spark.catalog.clearCache()  # drop the op's internal persists
+            out[f"{name}_growth"] = round(
+                out[f"{name}_{factor}x_sec"] / out[f"{name}_1x_sec"], 2
+            )
     # the sign-LSH tuning rule in action: band_bits scales with log2(N)
     # (the r2 before-number with 16-bit bands at ×16 was 143× growth —
     # N²/2^16 random collisions; 32-bit bands keep collisions linear)
@@ -686,6 +703,10 @@ def main() -> None:
                 "n_turns": r["n_turns"],
                 "n_routed": r["n_routed"],
                 "throughput_turns_per_sec": r["throughput_turns_per_sec"],
+                # per-rep samples for the headline rows: a wide spread
+                # with a fast min = neighbor load; a uniformly-slow set
+                # = a real regression (VERDICT r4 item 1)
+                "rep_times": r["rep_times"],
                 **{k: v for k, v in sf1.items()
                    if k != "pipeline_sf1_replicated_sec"},
             }
