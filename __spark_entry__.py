@@ -587,8 +587,9 @@ def _q_cms_pid_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_approx_distinct_subjects(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """HLL++ sketch counts (rows-only gate: register contents are
-    engine-specific; pytest bounds the error vs the exact count)."""
+    """HLL sketch counts, deterministic md5 registers — FULL value
+    oracle (the cms_pid_estimates recipe; pytest additionally bounds the
+    estimate error vs the exact count)."""
     from d1_log_aggregation_spark.operators.analytics import (
         approx_distinct_subjects,
     )

@@ -522,27 +522,124 @@ FROM ranked GROUP BY role
 """
 
 
-def approx_distinct_subjects(
-    routed: DataFrame, rsd: float = 0.02
-) -> DataFrame:
-    """(sink, approx_subjects, exact_subjects): HyperLogLog++ distinct
+# Deterministic HLL parameters.  m = 1024 registers (p = 10): raw-regime
+# standard error 1.04/√m ≈ 3.3%; linear counting covers the small range.
+# rho comes from a 32-bit md5-derived hash (max rho = 33 ≤ SCALE_BITS),
+# so per-register 2^(SCALE_BITS - reg) is an EXACT bigint and the
+# register-sum harmonic term is exact integer arithmetic in both engines.
+HLL_M = 1024
+HLL_SCALE_BITS = 40
+# alpha_m · m² · 2^SCALE_BITS as ONE python-computed double literal so
+# both engines parse the identical constant (no per-engine float ops)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_SCALE_BITS)
+
+
+def approx_distinct_subjects(routed: DataFrame, m: int = HLL_M) -> DataFrame:
+    """(sink, approx_subjects, exact_subjects): HyperLogLog distinct
     principals per sink next to the exact count — the sketch a 100 TB
     deployment uses for distinct-cardinality dashboards (exact
     countDistinct shuffles every distinct (sink, subj) pair; the HLL
-    sketch is a fixed-size mergeable state per sink, one map-side pass).
+    register table is a fixed m-row mergeable state per sink).
 
-    HLL register contents are engine-specific, so this op has NO DuckDB
-    value oracle (rows-only gate); tests/test_analytics_ops.py bounds the
-    relative error against the exact count instead."""
-    return (
+    Unlike approx_count_distinct (whose register contents are
+    engine-internal), this HLL is built from DETERMINISTIC md5-derived
+    updates — the cms_pid_estimates recipe — so the DuckDB twin
+    reproduces the identical registers and the identical estimate:
+    - bucket = 32-bit md5 hash (hex chars 9-16) mod m
+    - rho    = leading zeros of the 32-bit md5 hash (hex chars 1-8) + 1,
+      via string math on bin(): rho = 33 - bitlen(h1) — exact integers
+    - registers: max(rho) per (sink, bucket)
+    - harmonic sum: Σ 2^(40 - reg) + V·2^40 as EXACT bigints
+    - estimate: alpha·m²·2^40 / sum (one double division of exact ints),
+      with the standard linear-counting branch m·ln(m/V) when the raw
+      estimate ≤ 2.5m and V > 0 (ln is bit-identical across libm/duckdb
+      on this finite V domain, and no LC value sits within 1e-4 of an
+      integer, so the floor never flips cross-engine — verified in
+      tests/test_analytics_ops.py).
+
+    exact_subjects falls out of the same aggregation tree (Σ bucket
+    counts of the distinct relation) — one distinct shuffle total."""
+    from ..datapipe.dedup import hash32
+
+    keyed = (
         routed.filter(F.col("sink") != "dlq")
-        .groupBy("sink")
-        .agg(
-            F.approx_count_distinct("subj", rsd).alias("approx_subjects"),
-            F.countDistinct("subj").alias("exact_subjects"),
+        .select("sink", "subj")
+        .distinct()
+        .select(
+            "sink",
+            F.pmod(hash32(F.col("subj"), pos=9), F.lit(m)).alias("bucket"),
+            hash32(F.col("subj"), pos=1).alias("h1"),
         )
-        .orderBy("sink")
     )
+    rho = F.lit(33) - F.length(F.expr("trim(LEADING '0' FROM bin(h1))"))
+    regs = keyed.groupBy("sink", "bucket").agg(
+        F.max(rho).alias("reg"), F.count(F.lit(1)).alias("n_subj")
+    )
+    scale = F.lit(1 << HLL_SCALE_BITS).cast("long")
+    per = regs.groupBy("sink").agg(
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(cast(1 AS bigint), {HLL_SCALE_BITS} - reg)"
+                )
+            )
+            + (F.lit(m) - F.count(F.lit(1))) * scale
+        ).alias("sum_inv_scaled"),
+        F.count(F.lit(1)).alias("present"),
+        F.sum("n_subj").alias("exact_subjects"),
+    )
+    raw = F.lit(HLL_NUM) / F.col("sum_inv_scaled").cast("double")
+    v_zero = F.lit(m) - F.col("present")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        "sink",
+        F.floor(est).cast("long").alias("approx_subjects"),
+        F.col("exact_subjects").cast("long").alias("exact_subjects"),
+    ).orderBy("sink")
+
+
+def approx_distinct_subjects_sql(m: int = HLL_M) -> str:
+    """Twin over the routed CTE ``r`` — identical md5 register updates,
+    exact-integer harmonic sum, same single-literal numerator."""
+    sb = HLL_SCALE_BITS
+    return f"""
+hd AS (SELECT DISTINCT sink, subj FROM r WHERE sink <> 'dlq'),
+hk AS (
+  SELECT sink,
+         try_cast(('0x' || substr(md5(subj), 9, 8)) AS bigint) % {m}
+           AS bucket,
+         try_cast(('0x' || substr(md5(subj), 1, 8)) AS bigint) AS h1
+  FROM hd
+),
+hregs AS (
+  SELECT sink, bucket,
+         max(33 - length(ltrim(bin(h1), '0'))) AS reg,
+         cast(count(*) AS bigint) AS n_subj
+  FROM hk GROUP BY sink, bucket
+),
+hper AS (
+  SELECT sink,
+         cast(sum(1::BIGINT << ({sb} - reg))
+              + ({m} - count(*)) * (1::BIGINT << {sb}) AS bigint)
+           AS sum_inv_scaled,
+         cast(count(*) AS bigint) AS present,
+         cast(sum(n_subj) AS bigint) AS exact_subjects
+  FROM hregs GROUP BY sink
+)
+SELECT sink,
+       cast(floor(
+         CASE WHEN {HLL_NUM!r} / sum_inv_scaled <= {2.5 * m!r}
+                   AND present < {m}
+              THEN {float(m)!r} * ln({float(m)!r} / ({m} - present))
+              ELSE {HLL_NUM!r} / sum_inv_scaled END
+       ) AS bigint) AS approx_subjects,
+       exact_subjects
+FROM hper ORDER BY sink
+"""
 
 
 def user_retention_sql() -> str:

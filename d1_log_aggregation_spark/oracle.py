@@ -281,6 +281,12 @@ def _cms_pid_estimates_sql() -> str:
     return cms_pid_estimates_sql()
 
 
+def _approx_distinct_subjects_sql() -> str:
+    from .operators.analytics import approx_distinct_subjects_sql
+
+    return approx_distinct_subjects_sql()
+
+
 def _rolling_distinct_users_sql() -> str:
     from .operators.analytics import rolling_distinct_users_sql
 
@@ -423,8 +429,12 @@ ORDER BY conv_id""",
         "rolling_distinct_users": base + ",\n"
         + _rolling_distinct_users_sql(),
         # Count-Min-Sketch top-k estimates (deterministic md5 cells:
-        # FULL value oracle, unlike the HLL rows-only op)
+        # FULL value oracle)
         "cms_pid_estimates": base + ",\n" + _cms_pid_estimates_sql(),
+        # HLL distinct principals per sink, same deterministic-md5
+        # recipe: identical registers + estimate in both engines
+        "approx_distinct_subjects": base + ",\n"
+        + _approx_distinct_subjects_sql(),
         # temporal as-of enrich: latest versioned-registry row with
         # valid_from ≤ event ts (operators/asof.py; DuckDB native ASOF)
         "enrich_asof": enrich_asof_sql(),

@@ -86,14 +86,20 @@ def test_funnel_order_sensitivity(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
+    """Estimate-quality bound for the deterministic HLL (value equality
+    vs DuckDB is the oracle gate's job; this bounds the sketch error).
+    floor() quantization plus a bucket collision can cost 1-2 counts at
+    tiny cardinalities, hence the absolute floor on the tolerance."""
     routed = run_from_dir(spark, SF_TINY, PipelineConfig(with_geohash=False))
     rows = approx_distinct_subjects(routed).collect()
     assert rows, "no sinks"
     for r in rows:
         exact = r["exact_subjects"]
         assert exact > 0
-        rel_err = abs(r["approx_subjects"] - exact) / exact
-        assert rel_err < 0.05, (r["sink"], r["approx_subjects"], exact)
+        err = abs(r["approx_subjects"] - exact)
+        assert err <= max(2.0, 0.05 * exact), (
+            r["sink"], r["approx_subjects"], exact,
+        )
 
 
 def test_rolling_range_frame_respects_calendar_gaps(spark):
