@@ -74,6 +74,23 @@ def _q_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_enrich_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3's true range-keyed GeoIP shape (operators/enrich.py
+    enrich_geo_range): ip_long BETWEEN geo_lo AND geo_hi against the
+    broadcast 200-row /16 range dim; oracle is a DuckDB range join over
+    the same dim rows."""
+    from d1_log_aggregation_spark import dims
+    from d1_log_aggregation_spark.operators.enrich import enrich_geo_range
+
+    parsed = parse_events(dedup_turns(load_transcripts(spark, sf_dir)))
+    return enrich_geo_range(
+        parsed, dims.geo_ranges_df(spark, sf_dir)
+    ).select(
+        "event_id", "node_id", "country", "region", "city", "lat", "lon",
+        "location",
+    )
+
+
 def _q_robot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select(
         "event_id", "in_partial_robot_list", "in_full_robot_list"
@@ -819,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all driver-green from earlier rounds AND covered every run by
     tests/test_oracle_gate.py's full-registry sweep."""
     return {
+        # --- new in round 5 ----------------------------------------------
+        "enrich_geo_range": _q_enrich_geo_range,
         # --- rotated to the front: no driver row before round 4 ---------
         "conv_funnel": _q_conv_funnel,
         "enrich_asof": _q_enrich_asof,

@@ -196,6 +196,63 @@ def registry_sql() -> str:
 
 
 # --------------------------------------------------------------------------
+# Range-keyed geo dimension (the TRUE shape of the reference's GeoIP db:
+# GeoLiteCity is a binary file keyed by ip RANGES, GeoIPService.java:78-106
+# — "an interval join in disguise", SURVEY §2.3 J3).  The synthetic client
+# ips are 10.<octet>.x.y with octet = user_id % 200, so the range dim is
+# 200 disjoint /16 blocks [10.o.0.0 .. 10.o.255.255], each carrying the
+# geo payload of nation o % 25 — EXACTLY the payload the equi-keyed
+# registry path produces, so the two strategies are interchangeable and
+# cross-checked row-for-row in tests/test_classify.py.
+# --------------------------------------------------------------------------
+
+GEO_RANGE_OCTETS = 200
+
+
+def geo_ranges_from_registry(registry: DataFrame) -> DataFrame:
+    """(geo_lo, geo_hi, node_id, country, region, city, lat, lon):
+    one row per second-octet /16 block, payload from the registry row of
+    nation ``octet % 25``.  Tiny (200 rows) → broadcast."""
+    from pyspark.sql import functions as F
+
+    spark = registry.sparkSession
+    octets = spark.range(GEO_RANGE_OCTETS).select(
+        F.col("id").cast("int").alias("octet")
+    )
+    base = F.lit(10 << 24).cast("long") + F.col("octet").cast("long") * F.lit(
+        1 << 16
+    )
+    return (
+        octets.join(
+            F.broadcast(registry),
+            F.pmod(F.col("octet"), F.lit(25)) == F.col("registry_key"),
+        )
+        .select(
+            base.alias("geo_lo"),
+            (base + F.lit((1 << 16) - 1)).alias("geo_hi"),
+            "node_id", "country", "region", "city", "lat", "lon",
+        )
+    )
+
+
+def geo_ranges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return geo_ranges_from_registry(registry_df(spark, sf_dir))
+
+
+def geo_ranges_sql() -> str:
+    """Oracle-side range dim (same rows; DuckDB octet generator)."""
+    return f"""
+SELECT
+  cast({10 << 24} + o.octet * {1 << 16} AS bigint)                AS geo_lo,
+  cast({10 << 24} + o.octet * {1 << 16} + {(1 << 16) - 1} AS bigint)
+                                                                  AS geo_hi,
+  reg.node_id, reg.country, reg.region, reg.city, reg.lat, reg.lon
+FROM (SELECT range AS octet FROM range(0, {GEO_RANGE_OCTETS})) o
+JOIN ({registry_sql()}) reg ON o.octet % 25 = reg.registry_key
+"""
+
+
+# --------------------------------------------------------------------------
 # Versioned registry (slowly-changing dimension for the as-of join).
 # Three deterministic snapshots of the registry: v1 before the event window
 # (2023-12-01), v2 and v3 mid-window (2024-01-11 / 2024-01-21 — the

@@ -21,7 +21,7 @@ This module builds one WITH-chain reproducing pipeline.py stage by stage:
 
 from __future__ import annotations
 
-from .dims import registry_sql, sysmeta_sql
+from .dims import geo_ranges_sql, registry_sql, sysmeta_sql
 from .functions.net import ip_to_long_sql
 from .operators.classify import classify_sql_columns
 from .operators.parse import parse_sql_columns
@@ -361,6 +361,17 @@ FROM c""",
         "enrich_registry": base
         + """SELECT event_id, node_id, country, region, city, lat, lon,
   location FROM e""",
+        # J3's true range-keyed shape: DuckDB range join over the same
+        # 200-row /16 geo dim (dims.geo_ranges_sql)
+        "enrich_geo_range": base
+        + f""", georanges AS (
+{geo_ranges_sql()}
+)
+SELECT p.event_id, g.node_id, g.country, g.region, g.city, g.lat, g.lon,
+       CASE WHEN g.lat IS NOT NULL
+            THEN printf('%.4f, %.4f', g.lat, g.lon) END AS location
+FROM p LEFT JOIN georanges g
+  ON p.ip_long BETWEEN g.geo_lo AND g.geo_hi""",
         "enrich_sysmeta": base
         + """SELECT event_id, format_id, format_type, size, rights_holder
 FROM e""",

@@ -33,7 +33,11 @@ from . import dims
 from .operators.aggregate import harvest_metrics, sink_counts
 from .operators.classify import classify_robots
 from .operators.dedup import dedup_turns
-from .operators.enrich import enrich_registry, enrich_sysmeta
+from .operators.enrich import (
+    enrich_geo_range,
+    enrich_registry,
+    enrich_sysmeta,
+)
 from .operators.parse import parse_events
 from .operators.repeat_visit import flag_repeat_visits
 from .operators.route import route
@@ -49,6 +53,10 @@ class PipelineConfig:
     # ip membership via broadcast range join instead of the folded
     # expression — the path for CIDR dims too large to fold (J5 scale path)
     robot_ip_via_join: bool = False
+    # geo enrichment via the range-keyed dim (J3's true GeoIP shape:
+    # ip_long BETWEEN geo_lo AND geo_hi) instead of the derived equi key;
+    # payload-identical on the synthetic ip space
+    geo_via_range_join: bool = False
     with_geohash: bool = True
     # fixed run stamp so outputs are deterministic/testable (the reference
     # stamps dateAggregated=now, LogHarvesterTask.java:346,355)
@@ -96,7 +104,12 @@ def run_pipeline(
     # repeat-visit scan so the scan's single Arrow round trip can also
     # carry the geohash encode (fuse_geohash) — one Python stage total
     df = enrich_sysmeta(df, sysmeta)
-    df = enrich_registry(df, registry)
+    if cfg.geo_via_range_join:
+        df = enrich_geo_range(
+            df, dims.geo_ranges_from_registry(registry)
+        )
+    else:
+        df = enrich_registry(df, registry)
     df = flag_repeat_visits(
         df,
         interval_seconds=cfg.repeat_visit_interval_seconds,

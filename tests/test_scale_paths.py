@@ -159,3 +159,21 @@ def test_pipeline_correct_without_broadcast_joins(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert base == no_bcast
+
+def test_geo_range_join_path_equals_equi_key(spark):
+    """J3's true range-keyed shape (geo_via_range_join=True) must enrich
+    every routed row with the exact payload the equi-keyed registry path
+    produces — the two strategies are interchangeable by construction
+    (the /16 range of second-octet o carries nation o % 25's payload)."""
+    t = load_transcripts(spark, SF)
+    reg, sm = dims.registry_df(spark, SF), dims.sysmeta_df(spark, SF)
+    cols = [
+        "event_id", "node_id", "country", "region", "city", "lat", "lon",
+        "location", "sink",
+    ]
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(*cols).collect()
+    )
+    base = run_pipeline(t, reg, sm, _cfg())
+    ranged = run_pipeline(t, reg, sm, _cfg(geo_via_range_join=True))
+    assert key(base) == key(ranged)
