@@ -97,6 +97,23 @@ def _q_robot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robot_flags_fullscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 at the REFERENCE list width: 222/214-pattern alternations
+    (shape of full/partialWebRobotList.txt, LogHarvesterTask.java:265-281)
+    compiled into one rlike each.  Flags must equal the seed-list flags —
+    the filler patterns match no synthetic UA — which the oracle (same
+    fullscale alternation in DuckDB/RE2) and tests/test_classify.py both
+    pin."""
+    from d1_log_aggregation_spark.operators.classify import classify_robots
+
+    parsed = parse_events(dedup_turns(load_transcripts(spark, sf_dir)))
+    return classify_robots(
+        parsed,
+        full_patterns=dims.full_robot_patterns_fullscale(),
+        partial_patterns=dims.partial_robot_patterns_fullscale(),
+    ).select("event_id", "in_partial_robot_list", "in_full_robot_list")
+
+
 def _q_repeat_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select("event_id", "is_repeat_visit")
 
@@ -838,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in round 5 ----------------------------------------------
         "enrich_geo_range": _q_enrich_geo_range,
+        "robot_flags_fullscale": _q_robot_flags_fullscale,
         # --- rotated to the front: no driver row before round 4 ---------
         "conv_funnel": _q_conv_funnel,
         "enrich_asof": _q_enrich_asof,

@@ -316,6 +316,10 @@ def run_round_ops(spark) -> dict:
             "bigram_novelty": lambda: dp_text.bigram_novelty(
                 docs, scratch_dir=scratch.fresh()
             ),
+            # r5: classification at the reference list width — measures
+            # the 222/214-term alternation's per-row rlike cost
+            "robot_classify_fullscale":
+                lambda: entry._q_robot_flags_fullscale(spark, SF_DIR),
         }
         # layout rewrite is a writer, not a noop-materialize job: time
         # the range-cluster + sort + parquet write of the routed table

@@ -53,6 +53,60 @@ PARTIAL_ROBOT_PATTERNS: list[str] = [
 ]
 
 
+# Reference-scale lists: fullWebRobotList.txt has 222 patterns and
+# partialWebRobotList.txt 214 (LogHarvesterTask.java:265-281).  The 8+8
+# seed patterns above drive every TRUE outcome on the synthetic UA space;
+# the filler reproduces the real lists' SHAPE (literal tokens, [Xx] char
+# classes, \s escapes, version-digit classes, inline alternations) while
+# matching NO synthetic UA, so flags are provably identical to the seed
+# lists (tests/test_classify.py) and what the fullscale path exercises is
+# the 222-term alternation itself: regex compile size, rlike codegen, and
+# per-row match cost at the real list width.
+FULL_ROBOT_LIST_SIZE = 222
+PARTIAL_ROBOT_LIST_SIZE = 214
+
+_FILLER_WORDS = [
+    "bot", "crawl", "spider", "fetch", "scan", "harvest", "slurp", "probe",
+    "index", "archive", "monitor", "sweep",
+]
+
+
+def synth_robot_patterns(
+    n: int, seed: list[str], tag: str
+) -> list[str]:
+    """seed patterns + deterministic filler up to ``n`` entries, cycling
+    four shapes drawn from the real files' styles.  Valid under both
+    Java regex (Spark rlike) and RE2 (DuckDB regexp_matches)."""
+    out = list(seed)
+    i = 0
+    while len(out) < n:
+        w = _FILLER_WORDS[i % len(_FILLER_WORDS)]
+        shape = i % 4
+        if shape == 0:
+            p = f"[{w[0].upper()}{w[0]}]{w[1:]}er-{tag}{i:03d}"
+        elif shape == 1:
+            p = f"{w}agent{i:03d}/[0-9]"
+        elif shape == 2:
+            p = f"{w}\\s{tag}agent{i:03d}"
+        else:
+            p = f"({w}ley|{w}don)-{tag}x{i:03d}"
+        out.append(p)
+        i += 1
+    return out
+
+
+def full_robot_patterns_fullscale() -> list[str]:
+    return synth_robot_patterns(
+        FULL_ROBOT_LIST_SIZE, FULL_ROBOT_PATTERNS, "f"
+    )
+
+
+def partial_robot_patterns_fullscale() -> list[str]:
+    return synth_robot_patterns(
+        PARTIAL_ROBOT_LIST_SIZE, PARTIAL_ROBOT_PATTERNS, "p"
+    )
+
+
 def combined_regex(patterns: list[str]) -> str:
     """One alternation regex reproducing 'any pattern finds a match'.
 

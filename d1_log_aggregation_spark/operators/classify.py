@@ -77,12 +77,19 @@ def classify_robots(
     events_to_check: tuple[str, ...] = ("read",),
     do_robot_ip_check: bool = True,
     robot_ranges: DataFrame | None = None,
+    full_patterns: list[str] | None = None,
+    partial_patterns: list[str] | None = None,
 ) -> DataFrame:
     """Adds in_partial_robot_list / in_full_robot_list booleans.
 
     ``robot_ranges``: optional large CIDR dim (net_lo, net_hi with host
     semantics pre-applied) — switches the ip membership test from the
-    folded expression to the broadcast range join (the scale path)."""
+    folded expression to the broadcast range join (the scale path).
+
+    ``full_patterns``/``partial_patterns``: override the UA regex lists
+    (e.g. dims.*_robot_patterns_fullscale() — the reference-width
+    222/214-entry lists).  Any width stays ONE rlike per list: the
+    alternation is compiled once per task, not per row."""
     drop_cols: list[str] = []
     if do_robot_ip_check and robot_ranges is not None:
         df = robot_ip_match_join(df, robot_ranges)
@@ -92,10 +99,10 @@ def classify_robots(
     ua_blank = F.col("ua").isNull() | (F.col("ua") == "")
 
     ua_partial = (~ua_blank) & ua.rlike(
-        dims.combined_regex(dims.PARTIAL_ROBOT_PATTERNS)
+        dims.combined_regex(partial_patterns or dims.PARTIAL_ROBOT_PATTERNS)
     )
     ua_full = (~ua_blank) & ua.rlike(
-        dims.combined_regex(dims.FULL_ROBOT_PATTERNS)
+        dims.combined_regex(full_patterns or dims.FULL_ROBOT_PATTERNS)
     )
 
     if do_robot_ip_check:
@@ -136,13 +143,19 @@ def classify_robots(
 def classify_sql_columns(
     events_to_check: tuple[str, ...] = ("read",),
     do_robot_ip_check: bool = True,
+    full_patterns: list[str] | None = None,
+    partial_patterns: list[str] | None = None,
 ) -> dict[str, str]:
     """DuckDB boolean expressions over columns (event, ua, ip, ip_long)."""
     evs = ", ".join(f"'{e}'" for e in events_to_check)
     checked = f"lower(trim(event)) IN ({evs})"
     ua_blank = "(ua IS NULL OR ua = '')"
-    pr = dims.combined_regex(dims.PARTIAL_ROBOT_PATTERNS).replace("'", "''")
-    fr = dims.combined_regex(dims.FULL_ROBOT_PATTERNS).replace("'", "''")
+    pr = dims.combined_regex(
+        partial_patterns or dims.PARTIAL_ROBOT_PATTERNS
+    ).replace("'", "''")
+    fr = dims.combined_regex(
+        full_patterns or dims.FULL_ROBOT_PATTERNS
+    ).replace("'", "''")
     ua_partial = f"(NOT {ua_blank} AND regexp_matches(trim(ua), '{pr}'))"
     ua_full = f"(NOT {ua_blank} AND regexp_matches(trim(ua), '{fr}'))"
     if not do_robot_ip_check:

@@ -275,6 +275,24 @@ def _conv_funnel_sql() -> str:
     return conv_funnel_sql()
 
 
+def _robot_flags_fullscale_select() -> str:
+    from .dims import (
+        full_robot_patterns_fullscale,
+        partial_robot_patterns_fullscale,
+    )
+
+    cc = classify_sql_columns(
+        full_patterns=full_robot_patterns_fullscale(),
+        partial_patterns=partial_robot_patterns_fullscale(),
+    )
+    return (
+        "SELECT event_id,\n"
+        f"  {cc['in_partial_robot_list']} AS in_partial_robot_list,\n"
+        f"  {cc['in_full_robot_list']} AS in_full_robot_list\n"
+        "FROM p"
+    )
+
+
 def _cms_pid_estimates_sql() -> str:
     from .operators.analytics import cms_pid_estimates_sql
 
@@ -356,6 +374,11 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM t""",
         "robot_flags": base
         + """SELECT event_id, in_partial_robot_list, in_full_robot_list
 FROM c""",
+        # classification at the REFERENCE list width (222/214-pattern
+        # alternations, fullWebRobotList.txt scale) — flags must equal
+        # the seed-list flags because the filler matches no synthetic UA
+        "robot_flags_fullscale": base
+        + _robot_flags_fullscale_select(),
         "repeat_visits": base
         + "SELECT event_id, is_repeat_visit FROM rv",
         "enrich_registry": base

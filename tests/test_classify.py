@@ -80,3 +80,44 @@ def test_subnetutils_exclusive_bounds(spark):
     assert got[1] == (False, False)
     assert got[2] == (True, True)
     assert got[3] == (True, True)
+
+def test_fullscale_lists_compile_and_match_seed_flags(spark):
+    """Reference-width lists (222 full / 214 partial): the alternation
+    must compile (Java regex), stay inside WholeStageCodegen (no Python
+    fallback at real list width), and produce flags identical to the
+    seed lists — the filler patterns match no synthetic UA."""
+    from d1_log_aggregation_spark import dims
+    from d1_log_aggregation_spark.operators.dedup import dedup_turns
+    from d1_log_aggregation_spark.operators.parse import parse_events
+    from d1_log_aggregation_spark.transcripts import load_transcripts
+
+    full = dims.full_robot_patterns_fullscale()
+    partial = dims.partial_robot_patterns_fullscale()
+    assert len(full) == 222 and len(partial) == 214
+    assert len(set(full)) == len(full) - sum(
+        full[:8].count(p) - 1 for p in set(full[:8])
+    )
+    import re
+
+    re.compile(dims.combined_regex(full))
+    re.compile(dims.combined_regex(partial))
+
+    parsed = parse_events(
+        dedup_turns(load_transcripts(spark, "/root/testdata/sf0.001"))
+    )
+    seed = classify_robots(parsed)
+    big = classify_robots(
+        parsed, full_patterns=full, partial_patterns=partial
+    )
+    cols = ["event_id", "in_partial_robot_list", "in_full_robot_list"]
+    bdf = big.select(*cols)
+    a = sorted(tuple(r) for r in seed.select(*cols).collect())
+    b = sorted(tuple(r) for r in bdf.collect())
+    assert a == b
+    assert any(r[1] or r[2] for r in a), "no robot rows in corpus"
+    # AQE reports the final (codegen'd) plan only on the EXECUTED df;
+    # the adaptive plan string marks WholeStageCodegen spans as "*(n)"
+    plan = bdf._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\*\(\d+\) Project", plan), plan[:400]
+    assert "RLIKE" in plan  # the alternation folded into the projection
+    assert "EvalPython" not in plan  # the 222-term rlike stays JVM-side
