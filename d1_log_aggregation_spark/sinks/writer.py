@@ -46,6 +46,24 @@ from pyspark.sql import functions as F
 COMMITS_DIR = "_commits"
 
 
+def iceberg_runtime_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath.
+
+    The north-star deployment writes per-sink Iceberg tables; this
+    sandbox ships no Iceberg jar, so the writer detects the runtime and
+    routes through ``df.writeTo(table).append()`` only when it is
+    actually loadable — the parquet + O_EXCL commit protocol below is
+    the documented fallback, and tests/test_resume.py records which
+    path the environment exercised."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001  (Py4J wraps ClassNotFound)
+        return False
+
+
 def _commits_dir(base_dir: str) -> str:
     return os.path.join(base_dir, COMMITS_DIR)
 
@@ -102,9 +120,40 @@ def write_snapshot(
     run_id: str,
     source_snapshot_id: str = "",
     extra: dict | None = None,
+    iceberg_table: str | None = None,
+    allow_fallback: bool = False,
 ) -> dict:
-    """Write one run's routed delta as a snapshot; returns the commit entry."""
+    """Write one run's routed delta as a snapshot; returns the commit entry.
+
+    ``iceberg_table``: when set AND the Iceberg runtime is present, the
+    write is a real ``df.writeTo(table).append()`` — an Iceberg snapshot
+    commit, with the entry recording ``engine='iceberg'`` and the table
+    identity instead of a run directory.  When the runtime is absent the
+    call raises (a production config asking for Iceberg must not degrade
+    silently) unless ``allow_fallback=True``, which takes the parquet
+    path and records that the request was downgraded."""
     os.makedirs(base_dir, exist_ok=True)
+    engine_extra: dict = {}
+    if iceberg_table is not None:
+        if iceberg_runtime_available(routed.sparkSession):
+            routed.writeTo(iceberg_table).append()
+            entry = {
+                "run_id": run_id,
+                "engine": "iceberg",
+                "table": iceberg_table,
+                "path": "",
+                "source_snapshot_id": source_snapshot_id,
+                "committed_at_unix": int(time.time()),
+                **(extra or {}),
+            }
+            return _write_commit(base_dir, entry)
+        if not allow_fallback:
+            raise RuntimeError(
+                f"iceberg_table={iceberg_table!r} requested but the "
+                "Iceberg Spark runtime is not on the classpath; pass "
+                "allow_fallback=True for the parquet commit protocol"
+            )
+        engine_extra = {"iceberg_requested": iceberg_table}
     run_dir = os.path.join(base_dir, f"run={run_id}")
     (
         routed.write.mode("overwrite")
@@ -113,9 +162,11 @@ def write_snapshot(
     )
     entry = {
         "run_id": run_id,
+        "engine": "parquet",
         "path": run_dir,
         "source_snapshot_id": source_snapshot_id,
         "committed_at_unix": int(time.time()),
+        **engine_extra,
         **(extra or {}),
     }
     return _write_commit(base_dir, entry)
@@ -186,6 +237,12 @@ def read_sinks(
         )
     df = None
     for seq, c in enumerate(commits):
+        if c.get("engine") == "iceberg":
+            raise NotImplementedError(
+                f"commit {c['run_id']} is an Iceberg table snapshot "
+                f"({c['table']}); read it via spark.table() — Iceberg "
+                "handles dedup/time-travel natively"
+            )
         nxt = (
             spark.read.option("basePath", c["path"])
             .parquet(c["path"])

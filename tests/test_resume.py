@@ -210,3 +210,46 @@ def test_schema_evolution_across_snapshots(spark, tmp_path):
     # the v1 rewrite wins with 'gold'
     assert (None, False) in tiers and ("gold", True) in tiers
     assert ("gold", False) not in tiers
+
+def test_iceberg_runtime_detection_routes_the_write(spark, tmp_path):
+    """The writer must detect the Iceberg runtime and route through
+    writeTo().append() when present, or take the parquet commit protocol
+    when absent — this test exercises WHICHEVER path this environment
+    provides and records it in the commit entry (VERDICT r4 item 8).
+
+    In this sandbox no Iceberg jar ships, so the expected recorded
+    engine is 'parquet' with the downgrade noted; on a cluster with the
+    runtime the same test exercises the real snapshot append."""
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "t", None, "e1", "2024-01-01 00:00:00", "s")],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, event_id string, ts string, sink string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base = str(tmp_path / "sinks")
+    avail = writer.iceberg_runtime_available(spark)
+    if avail:
+        spark.sql(
+            "CREATE TABLE IF NOT EXISTS local.db.routed_test USING iceberg"
+            " AS SELECT * FROM VALUES (1) t(x) WHERE false"
+        )
+        entry = writer.write_snapshot(
+            df, base, "r1", iceberg_table="local.db.routed_test"
+        )
+        assert entry["engine"] == "iceberg"
+    else:
+        import pytest
+
+        # strict mode must refuse a silent downgrade...
+        with pytest.raises(RuntimeError, match="Iceberg Spark runtime"):
+            writer.write_snapshot(df, base, "r1", iceberg_table="t.x")
+        # ...and the explicit fallback records the downgrade
+        entry = writer.write_snapshot(
+            df, base, "r1", iceberg_table="t.x", allow_fallback=True
+        )
+        assert entry["engine"] == "parquet"
+        assert entry["iceberg_requested"] == "t.x"
+        got = writer.read_sinks(spark, base).collect()
+        assert len(got) == 1 and got[0]["conv_id"] == "c1"
+    # default (no table requested) stays on the parquet protocol
+    entry2 = writer.write_snapshot(df, base, "r2")
+    assert entry2["engine"] == "parquet"
