@@ -91,6 +91,14 @@ def _q_enrich_geo_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (datapipe/textstats.py, Schleimer et
+    al. 2003) over the documents table — the partial-overlap detector
+    beside the exact/MinHash/SimHash dedup family."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dp_text.winnow_fingerprints(docs)
+
+
 def _q_robot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _routed(spark, sf_dir).select(
         "event_id", "in_partial_robot_list", "in_full_robot_list"
@@ -857,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new / newly value-oracled in round 5 -------------------------
         "enrich_geo_range": _q_enrich_geo_range,
         "robot_flags_fullscale": _q_robot_flags_fullscale,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "approx_distinct_subjects": _q_approx_distinct_subjects,
         # --- rotated in: last driver row r1-r3 (r1-vintage first) ---------
         "ann_ivf_topk": _q_ann_ivf,
@@ -995,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
                 src=f"({oracle.transcripts_sql()})"
             ),
             "vocab_topk": dp_text.vocab_topk_sql(k=100),
+            "winnow_fingerprints": dp_text.winnow_fingerprints_sql(),
             "doc_keywords": dp_text.doc_keywords_sql(k=3),
             "token_quantiles": dp_text.token_quantiles_sql(),
             "corpus_deduped_lsh": dp_oracle.corpus_deduped_lsh_sql(0.5),

@@ -135,6 +135,124 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Winnowing (MOSS-style local fingerprints, Schleimer et al. 2003): the
+# whole-doc md5 above catches only EXACT duplicates; winnowing selects a
+# guaranteed-coverage subset of k-gram hashes (at least one per window of
+# w consecutive k-grams, the rightmost minimal one), so two docs sharing
+# any run of ≥ w+k-1 tokens share a fingerprint — the partial-overlap /
+# plagiarism detector the dedup family lacks.
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # k-grams per selection window
+_WINNOW_POS_BITS = 26  # docs up to 2^26 k-grams; larger docs get chunked
+_WINNOW_POS_MOD = 1 << _WINNOW_POS_BITS
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(doc_id, pos, fp_hash): the winnowing fingerprint set.
+
+    Pure window algebra — no Python: positional k-grams (posexplode,
+    duplicates KEPT, unlike the dedup shingles), 32-bit md5 hash, and
+    the rightmost-min rule encoded as ONE integer min over a ROWS
+    window: key = hash·2^26 + (2^26-1-pos), so min(key) picks the
+    smallest hash and, among ties, the LARGEST position — the winnowing
+    spec's tiebreak — and decodes back to (hash, pos) losslessly.
+
+    Scale shape: one shuffle on doc_id feeding a per-doc ordered window
+    scan (parallel across docs, sequential within — inherent to any
+    positional fingerprint).  Output ≈ 2/(w+1) of the k-gram stream.
+    Docs beyond 2^26 k-grams must be pre-chunked (the encoding owns 26
+    position bits); at that length chunking is what MOSS does anyway."""
+    from .dedup import hash32, norm_text
+
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(norm_text(F.col(text_col)), " "), lambda x: x != ""
+        ).alias("tk"),
+    )
+    n = F.size(F.col("tk"))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("tk"), i + j) for j in range(k)]
+    )
+    kg = F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), mk)
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = toks.select(
+        "doc_id", F.posexplode(kg).alias("pos", "kgram")
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            hash32(F.col("kgram")) * F.lit(_WINNOW_POS_MOD)
+            + (F.lit(_WINNOW_POS_MOD - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(w - 1), 0
+    )
+    sel = (
+        hashed.withColumn("sel", F.min("key").over(win))
+        .filter(F.col("pos") >= w - 1)  # full windows only
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (
+            F.lit(_WINNOW_POS_MOD - 1)
+            - F.pmod(F.col("sel"), F.lit(_WINNOW_POS_MOD))
+        ).alias("pos"),
+        F.expr(f"sel div {_WINNOW_POS_MOD}").alias("fp_hash"),
+    ).orderBy("doc_id", "pos")
+
+
+def winnow_fingerprints_sql(
+    src: str = "documents",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> str:
+    """DuckDB twin: same tokenization, md5 k-gram hash, and integer
+    min-window encoding."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    parts = " || ' ' || ".join(f"tk[i+{j}]" for j in range(k))
+    mod = _WINNOW_POS_MOD
+    return f"""
+WITH wtoks AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS tk
+  FROM {src}
+),
+wkg AS (
+  SELECT doc_id, unnest(range(1, len(tk) - {k - 2})) AS i, tk
+  FROM wtoks WHERE len(tk) >= {k}
+),
+whash AS (
+  SELECT doc_id, i - 1 AS pos,
+         try_cast(('0x' || substr(md5({parts}), 1, 8)) AS bigint)
+           * {mod} + ({mod - 1} - (i - 1)) AS key
+  FROM wkg
+),
+wwin AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+           AS sel
+  FROM whash
+)
+SELECT DISTINCT doc_id,
+       cast({mod - 1} - (sel % {mod}) AS bigint) AS pos,
+       cast(sel // {mod} AS bigint) AS fp_hash
+FROM wwin WHERE pos >= {w - 1}
+ORDER BY doc_id, pos
+"""
+
+
 # ---- DuckDB oracle fragments ----------------------------------------------
 
 def textstats_sql(text_col: str = "text") -> dict[str, str]:

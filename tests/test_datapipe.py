@@ -554,3 +554,40 @@ def test_bigram_novelty_semantics(spark, tmp_path):
     assert via_scratch == {k: tuple(v) for k, v in out.items()}
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached == 0
+
+def test_winnow_fingerprints_guarantees(spark):
+    """Winnowing invariants (Schleimer et al. 2003): (1) coverage — the
+    gap between consecutive selected positions is < w, so every window
+    of w consecutive k-grams contributes a fingerprint; (2) any shared
+    token run of length >= w+k-1 yields a shared fingerprint hash;
+    (3) disjoint-vocabulary docs share nothing."""
+    from d1_log_aggregation_spark.datapipe import textstats as ts
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"uno dos tres {shared} cuatro cinco seis"),
+            (3, "completely different words nothing in common here at all"
+                " more filler tokens so windows exist"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = ts.winnow_fingerprints(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp_hash"]))
+    # (1) coverage gap < w on every doc
+    for doc_id, rows in by_doc.items():
+        pos = sorted(p for p, _ in rows)
+        assert pos[0] <= ts.WINNOW_W - 1 + ts.WINNOW_W - 1
+        assert all(
+            b - a < ts.WINNOW_W + ts.WINNOW_W for a, b in zip(pos, pos[1:])
+        ), (doc_id, pos)
+    # (2) docs 1 and 2 share the 8-token run (>= w+k-1 = 7) → shared hash
+    h1 = {h for _, h in by_doc[1]}
+    h2 = {h for _, h in by_doc[2]}
+    h3 = {h for _, h in by_doc[3]}
+    assert h1 & h2, "shared run produced no shared fingerprint"
+    # (3) disjoint docs share nothing
+    assert not (h1 & h3) and not (h2 & h3)
