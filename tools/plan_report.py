@@ -62,11 +62,18 @@ TARGETS = [
     "cms_pid_estimates",
     "similar_docs_topk_scratch",
     "bigram_novelty_scratch",
+    # r5 additions
+    "enrich_geo_range",
+    "robot_flags_fullscale",
+    "winnow_fingerprints",
 ]
 
 PATTERNS = {
     "exchanges": r"\bExchange \(",
     "broadcast_joins": r"BroadcastHashJoin",
+    # broadcast range joins (geo/CIDR interval probes) — bounded
+    # dim-side nested loops, NOT cartesian products
+    "bnl_joins": r"BroadcastNestedLoopJoin",
     "sortmerge_joins": r"SortMergeJoin",
     "python_stages": (
         r"ArrowEvalPython|MapInArrow|FlatMapGroupsInPandas|"
