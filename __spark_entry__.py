@@ -728,6 +728,14 @@ def _q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021):
+    duplicate-word fraction, top-2-gram character fraction, duplicated-
+    5-gram character coverage.  Per-document only — one explode, one
+    (doc_id, k, gram) partial agg, no corpus-wide join."""
+    return dp_text.repetition_stats(_docs(spark, sf_dir))
+
+
 def _q_turn_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d1_log_aggregation_spark.operators.analytics import (
         turn_gap_quantiles,
@@ -744,6 +752,12 @@ def _q_node_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_sampling.corpus_split(_docs(spark, sf_dir))
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval leakage audit: shuffle semi-join of eval shingles
+    against the (corpus-sized, non-broadcastable) train shingle set."""
+    return dp_dedup.split_leakage(_docs(spark, sf_dir), min_common=5)
 
 
 def _q_quality_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_gate.py plus the committed SWEEP artifact."""
     return {
         # --- new / newly value-oracled in round 5 -------------------------
+        "repetition_stats": _q_repetition_stats,
+        "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
         "robot_flags_fullscale": _q_robot_flags_fullscale,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1012,7 +1028,9 @@ def oracle_sql() -> dict[str, str]:
             "mixture_weights": dp_text.mixture_weights_sql(),
             "rare_token_stats": dp_text.rare_token_stats_sql(),
             "bigram_novelty": dp_text.bigram_novelty_sql(),
+            "repetition_stats": dp_text.repetition_stats_sql(),
             "corpus_split": dp_sampling.corpus_split_sql("documents"),
+            "split_leakage": dp_oracle.split_leakage_sql(min_common=5),
             "quality_rule_stats": dp_text.quality_rule_stats_sql(),
             "embedding_stats": dp_oracle.embedding_stats_sql(),
         }

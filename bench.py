@@ -67,7 +67,11 @@ def _setup_transcripts(spark, replicate: int = 1, path: str = TRANSCRIPTS_PATH) 
 
 
 def run_once(
-    master: str, shuffle_partitions: int, replicate: int = 1, tag: str = ""
+    master: str,
+    shuffle_partitions: int,
+    replicate: int = 1,
+    tag: str = "",
+    pipeline_only: bool = False,
 ) -> dict:
     from d1_log_aggregation_spark import dims
     from d1_log_aggregation_spark.oracle import SF_REPEAT_INTERVAL_SECONDS
@@ -132,6 +136,24 @@ def run_once(
         lambda: _mat(routed()),
         reps=5 if replicate > 1 else 3,
     )
+
+    if pipeline_only:
+        # scaling legs only need the headline row — skipping the sink
+        # battery halves leg time so --scaling can afford to INTERLEAVE
+        # the two parallelism levels (see main) instead of measuring
+        # them minutes apart on a drifting box
+        total = round(time.monotonic() - t_all, 3)
+        spark.stop()
+        return {
+            "total_sec": total,
+            "pipeline_sec": queries["pipeline_routed_full"],
+            "n_turns": n_turns,
+            "queries": queries,
+            "rep_times": rep_times,
+            "throughput_turns_per_sec": round(
+                n_turns / queries["pipeline_routed_full"], 1
+            ),
+        }
 
     # Pipeline executions landing in the real sink (timed), and the
     # aggregates run over the WRITTEN table — the production decomposition
@@ -251,6 +273,7 @@ def run_round_ops(spark) -> dict:
     production shape includes the parse)."""
     import __spark_entry__ as entry
     from d1_log_aggregation_spark.datapipe import ann as dp_ann
+    from d1_log_aggregation_spark.datapipe import dedup as dp_dedup
     from d1_log_aggregation_spark.datapipe import multimodal as dp_mm
     from d1_log_aggregation_spark.datapipe import sampling as dp_sampling
     from d1_log_aggregation_spark.datapipe import textstats as dp_text
@@ -316,6 +339,12 @@ def run_round_ops(spark) -> dict:
             "bigram_novelty": lambda: dp_text.bigram_novelty(
                 docs, scratch_dir=scratch.fresh()
             ),
+            # r5: Gopher repetition filters — explode + two aggs, no join
+            "repetition_stats":
+                lambda: dp_text.repetition_stats(docs),
+            # r5: train/eval leakage audit — shingle semi-join
+            "split_leakage":
+                lambda: dp_dedup.split_leakage(docs, min_common=5),
             # r5: classification at the reference list width — measures
             # the 222/214-term alternation's per-row rlike cost
             "robot_classify_fullscale":
@@ -646,11 +675,32 @@ def main() -> None:
         # both levels, which is the closer analog of adding MACHINES.
         pair = os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32")
         n_lo, n_hi = (int(x) for x in pair.split(","))
-        lo = run_once(f"local[{n_lo}]", n_lo, SCALING_REPLICATE)
-        hi = run_once(f"local[{n_hi}]", n_hi, SCALING_REPLICATE)
+        # INTERLEAVE the two parallelism levels (lo,hi,lo,hi) and take
+        # the min per level: the legs take minutes each, and box-state
+        # drift BETWEEN legs corrupts the ratio far more than variance
+        # within one (r5: back-to-back samples of the same code swung
+        # raw eff 0.71-0.81 with the drift always falling on one leg).
+        # pipeline_only skips the sink battery so two rounds cost what
+        # one full round did.  The kernel ceiling is interleaved the
+        # same way, adjacent to the legs it calibrates.
+        lo_s, hi_s = [], []
+        for _ in range(2):
+            lo_s.append(
+                run_once(f"local[{n_lo}]", n_lo, SCALING_REPLICATE,
+                         pipeline_only=True)
+            )
+            hi_s.append(
+                run_once(f"local[{n_hi}]", n_hi, SCALING_REPLICATE,
+                         pipeline_only=True)
+            )
+        lo = min(lo_s, key=lambda r: r["pipeline_sec"])
+        hi = min(hi_s, key=lambda r: r["pipeline_sec"])
         eff = (lo["pipeline_sec"] / hi["pipeline_sec"]) / 4
-        k8 = calibration_kernel(f"local[{n_lo}]", n_lo)
-        k32 = calibration_kernel(f"local[{n_hi}]", n_hi)
+        k_lo_s, k_hi_s = [], []
+        for _ in range(2):
+            k_lo_s.append(calibration_kernel(f"local[{n_lo}]", n_lo))
+            k_hi_s.append(calibration_kernel(f"local[{n_hi}]", n_hi))
+        k8, k32 = min(k_lo_s), min(k_hi_s)
         kernel_eff = (k8 / k32) / 4
         print(
             json.dumps(
@@ -668,6 +718,12 @@ def main() -> None:
                     # same machine; pipeline eff should be read against it
                     "kernel_eff_ceiling": round(kernel_eff, 3),
                     "eff_vs_ceiling": round(eff / kernel_eff, 3),
+                    "leg_samples": {
+                        f"local[{n_lo}]": [r["pipeline_sec"] for r in lo_s],
+                        f"local[{n_hi}]": [r["pipeline_sec"] for r in hi_s],
+                        "kernel_lo": [round(k, 3) for k in k_lo_s],
+                        "kernel_hi": [round(k, 3) for k in k_hi_s],
+                    },
                 }
             )
         )

@@ -738,6 +738,52 @@ def contamination_flags(
     )
 
 
+def split_leakage(
+    docs: DataFrame,
+    text_col: str = "text",
+    splits_ppm: dict[str, int] | None = None,
+    salt: str = "split-v1",
+    min_common: int = 5,
+) -> DataFrame:
+    """(doc_id, split, n_common_shingles, is_leaked) for every NON-train
+    document: how many of its distinct word-shingles also appear in ANY
+    train-split document — the train/eval leakage audit a corpus runs
+    AFTER splitting (the directed complement of ``contamination_flags``,
+    which screens the corpus against a small external benchmark).
+
+    Scale shape: both sides come from the same corpus, so the train
+    shingle set is corpus-sized and CANNOT broadcast.  The probe is a
+    shuffle LEFT SEMI join on the 63-bit shingle key: no distinct
+    aggregate on the train side (semi join emits each eval posting at
+    most once), eval side is ~the eval ppm share of the corpus, and the
+    per-doc rollup shuffles only eval-sized data.  Two corpus scans (one
+    per split side) — each side needs its own shingling pass anyway."""
+    from .sampling import split_assign
+
+    assigned = split_assign(docs, splits_ppm, salt)
+    train_sh = _shingle_index(
+        assigned.where(F.col("split") == "train"), text_col
+    )[0].select("sh")
+    ev = assigned.where(F.col("split") != "train")
+    ev_sh = _shingle_index(ev, text_col)[0]
+    common = (
+        ev_sh.join(train_sh, "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common_shingles"))
+    )
+    n_common = F.coalesce(F.col("n_common_shingles"), F.lit(0))
+    return (
+        ev.select("doc_id", "split")
+        .join(common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            n_common.cast("long").alias("n_common_shingles"),
+            (n_common >= min_common).alias("is_leaked"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # 8. Duplicate-cluster connected components (iterative min-label).
 # --------------------------------------------------------------------------

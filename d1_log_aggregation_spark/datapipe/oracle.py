@@ -814,6 +814,51 @@ FROM corpus c LEFT JOIN common n ON c.doc_id = n.doc_id
 """
 
 
+def split_leakage_sql(
+    splits_ppm: dict[str, int] | None = None,
+    salt: str = "split-v1",
+    min_common: int = 5,
+) -> str:
+    """Twin of dedup.split_leakage: non-train docs scored by distinct
+    shingles shared with the train split (EXISTS = the semi join)."""
+    from .sampling import PPM, SPLIT_PPM, _hash_u32_sql
+
+    splits_ppm = splits_ppm or SPLIT_PPM
+    h = f"({_hash_u32_sql(salt, 'doc_id')} % {PPM})"
+    whens = []
+    cum = 0
+    for name, ppm in sorted(splits_ppm.items()):
+        cum += int(ppm)
+        whens.append(f"WHEN {h} < {cum} THEN '{name}'")
+    key = D.SHINGLE_KEY_SQL.format(c="sh_str")
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, text, CASE {' '.join(whens)} END AS split FROM documents
+),
+tsh0 AS (
+  SELECT unnest({D.shingles_sql('text')}) AS sh_str
+  FROM assigned WHERE split = 'train'
+),
+tsh AS (SELECT DISTINCT {key} AS sh FROM tsh0),
+esh0 AS (
+  SELECT doc_id, unnest({D.shingles_sql('text')}) AS sh_str
+  FROM assigned WHERE split <> 'train'
+),
+esh AS (SELECT doc_id, {key} AS sh FROM esh0),
+common AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM esh s WHERE EXISTS (SELECT 1 FROM tsh t WHERE t.sh = s.sh)
+  GROUP BY s.doc_id
+)
+SELECT e.doc_id,
+       e.split,
+       cast(coalesce(n.n, 0) AS bigint) AS n_common_shingles,
+       coalesce(n.n, 0) >= {min_common} AS is_leaked
+FROM assigned e LEFT JOIN common n ON e.doc_id = n.doc_id
+WHERE e.split <> 'train'
+"""
+
+
 def dedup_components_sql(
     threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
 ) -> str:

@@ -1005,3 +1005,171 @@ SELECT b.doc_id,
 FROM bg0 b JOIN dfr d ON b.bigram = d.bigram
 GROUP BY b.doc_id
 """
+
+
+# --- Gopher-style repetition filters --------------------------------------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", public) filter
+# documents whose text is dominated by repeated n-grams.  Representatives
+# implemented here: top-2-gram character fraction (most-frequent adjacent
+# word pair × its length over the doc's normalized characters) and
+# duplicated-5-gram character coverage (sum over 5-grams occurring ≥ 2
+# times of count × length; overlapping occurrences are summed, not
+# character-marked as in the paper, so the ratio is clamped at 1.0 — the
+# deterministic variant both engines compute exactly), plus the
+# duplicate-word fraction (1 − distinct/total tokens).
+
+ENC_GLEN_MOD = 1_000_000  # (count, length) → count*MOD + length; length < MOD
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, dup_word_frac, top_2gram_frac, dup_5gram_frac).
+
+    Per-document ONLY — no corpus-wide relation: one explode of the
+    tagged {1,2,5}-gram arrays, one partial-aggregating groupBy on
+    (doc_id, k, gram), one per-doc aggregate.  Shuffle key is
+    (doc_id, k, gram) so hot documents spread across their distinct
+    grams; no join, no window, no Python.  The most-frequent-2-gram
+    tie-break is deterministic cross-engine via the integer encoding
+    count*1e6 + length(gram): ties on count resolve to the LONGEST gram
+    (max coverage), not engine-dependent arg-max order.
+
+    Reference parity: quality filtering has no analog in
+    d1_log_aggregation (log pipeline); this is a training-data-pipeline
+    first-class op (SURVEY §2 extension family)."""
+    toks_col = F.filter(
+        F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
+    )
+    with_toks = docs.select("doc_id", F.col(text_col)).withColumn(
+        "_toks", toks_col
+    )
+    n = F.size(F.col("_toks"))
+
+    def grams(k: int) -> Column:
+        if k == 1:
+            return F.col("_toks")
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("_toks"), i + j) for j in range(k)],
+            ),
+        )
+
+    def _tag(k: int):
+        # one-arg lambda on purpose: a two-arg lambda would make
+        # F.transform pass the ARRAY INDEX as the second argument,
+        # silently shadowing the k literal
+        return lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
+
+    tagged = F.concat(*[F.transform(grams(k), _tag(k)) for k in (1, 2, 5)])
+    ex = (
+        with_toks.where(n >= 1)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.length(F.array_join(F.col("_toks"), " ")).alias("chars"),
+            F.explode(tagged).alias("t"),
+        )
+        .select(
+            "doc_id", "n_tokens", "chars",
+            F.col("t.k").alias("k"), F.col("t.gram").alias("gram"),
+        )
+    )
+    cnts = ex.groupBy("doc_id", "n_tokens", "chars", "k", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    glen = F.length(F.col("gram")).cast("long")
+    enc = F.col("cnt") * F.lit(ENC_GLEN_MOD) + glen
+    agg = cnts.groupBy("doc_id", "n_tokens", "chars").agg(
+        F.count(F.when(F.col("k") == 1, 1)).alias("n1_distinct"),
+        F.max(F.when(F.col("k") == 2, enc)).alias("top2_enc"),
+        F.sum(
+            F.when(
+                (F.col("k") == 5) & (F.col("cnt") >= 2),
+                F.col("cnt") * glen,
+            ).otherwise(F.lit(0))
+        ).alias("dup5_cover"),
+    )
+    top2_cover = F.expr(
+        f"(top2_enc div {ENC_GLEN_MOD}) * (top2_enc % {ENC_GLEN_MOD})"
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            (F.col("n_tokens") - F.col("n1_distinct")).cast("long")
+            / F.col("n_tokens").cast("long")
+        ).alias("dup_word_frac"),
+        F.coalesce(
+            top2_cover.cast("long") / F.col("chars").cast("long"),
+            F.lit(0.0),
+        ).alias("top_2gram_frac"),
+        F.least(
+            F.lit(1.0),
+            F.col("dup5_cover").cast("long") / F.col("chars").cast("long"),
+        ).alias("dup_5gram_frac"),
+    )
+
+
+def repetition_stats_sql(
+    src: str = "documents", text_col: str = "text"
+) -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    mod = ENC_GLEN_MOD
+
+    def gram_list(k: int) -> str:
+        if k == 1:
+            return "toks"
+        parts = " || ' ' || ".join(f"toks[i + {j}]" for j in range(k))
+        return (
+            f"list_transform(range(1, len(toks) - {k} + 2), i -> {parts})"
+        )
+
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, n_tokens, chars, {k} AS k,"
+        f" unnest({gram_list(k)}) AS gram FROM tk"
+        for k in (1, 2, 5)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS toks,
+         cast(len(list_filter(string_split({norm}, ' '), x -> x <> ''))
+              AS bigint) AS n_tokens,
+         cast(length(array_to_string(
+           list_filter(string_split({norm}, ' '), x -> x <> ''), ' '))
+              AS bigint) AS chars
+  FROM {src}
+  WHERE len(list_filter(string_split({norm}, ' '), x -> x <> '')) >= 1
+),
+ex AS (
+{branches}
+),
+cnts AS (
+  SELECT doc_id, n_tokens, chars, k, gram,
+         cast(count(*) AS bigint) AS cnt
+  FROM ex GROUP BY doc_id, n_tokens, chars, k, gram
+),
+agg AS (
+  SELECT doc_id, n_tokens, chars,
+         cast(count(CASE WHEN k = 1 THEN 1 END) AS bigint) AS n1_distinct,
+         max(CASE WHEN k = 2
+             THEN cnt * {mod} + cast(length(gram) AS bigint) END)
+           AS top2_enc,
+         cast(coalesce(sum(CASE WHEN k = 5 AND cnt >= 2
+             THEN cnt * cast(length(gram) AS bigint) ELSE 0 END), 0)
+           AS bigint) AS dup5_cover
+  FROM cnts GROUP BY doc_id, n_tokens, chars
+)
+SELECT doc_id,
+       n_tokens,
+       (n_tokens - n1_distinct) * 1.0 / n_tokens AS dup_word_frac,
+       coalesce(((top2_enc // {mod}) * (top2_enc % {mod})) * 1.0 / chars,
+                cast(0.0 AS double)) AS top_2gram_frac,
+       least(cast(1.0 AS double), dup5_cover * 1.0 / chars)
+         AS dup_5gram_frac
+FROM agg
+"""

@@ -555,6 +555,102 @@ def test_bigram_novelty_semantics(spark, tmp_path):
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached == 0
 
+def test_split_leakage_semantics(spark):
+    """Leakage audit on a corpus where doc A is copied into whichever
+    split the hash puts it in: eval twins of train docs are flagged,
+    disjoint-vocabulary eval docs are not, and train docs never appear
+    in the output."""
+    from d1_log_aggregation_spark.datapipe.dedup import split_leakage
+    from d1_log_aggregation_spark.datapipe.sampling import split_assign
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, base) for i in range(40)] + [
+        (100 + i, f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # an even split keeps both sides populated at this tiny doc count
+    # (the production default is train-heavy enough that 40 ids can all
+    # hash into train)
+    ppm = {"train": 500_000, "val": 250_000, "test": 250_000}
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(docs, ppm).select("doc_id", "split").collect()
+    }
+    shared_train = [d for d in range(40) if splits[d] == "train"]
+    shared_eval = [d for d in range(40) if splits[d] != "train"]
+    assert shared_train and shared_eval, splits
+    out = {
+        r["doc_id"]: r
+        for r in split_leakage(docs, splits_ppm=ppm, min_common=5).collect()
+    }
+    assert set(out) == {d for d, s in splits.items() if s != "train"}
+    # 8 tokens → 6 distinct 3-shingles, all present in the train twins
+    for d in shared_eval:
+        assert out[d]["n_common_shingles"] == 6
+        assert out[d]["is_leaked"]
+    for d in out:
+        if d >= 100:
+            assert out[d]["n_common_shingles"] == 0
+            assert not out[d]["is_leaked"]
+
+
+def test_repetition_stats_semantics(spark):
+    """Gopher repetition filters on hand-built docs: a doc with a
+    repeated 5-gram gets the exact hand-computed coverage; the
+    everything-repeats doc clamps at 1.0; single-token and
+    whitespace-only docs hit the empty-gram / filtered edges; the
+    DuckDB twin agrees bitwise (the synthetic corpus never repeats a
+    5-gram, so the dup5 branch is only exercised here)."""
+    import duckdb
+
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        repetition_stats,
+        repetition_stats_sql,
+    )
+
+    rows = [
+        (1, "x y z w v x y z w v"),   # "x y z w v" twice → dup5 18/19
+        (2, "a b c d e a b c d e a b c d e"),  # coverage sum > chars → 1.0
+        (3, "single"),                # no 2/5-grams → top2 0, dup5 0
+        (4, "   "),                   # tokenizes to nothing → dropped
+        (5, "all distinct words here today friend"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    # doc 1: 10 tokens / 5 distinct; 2-grams all cnt 2 len 3 → 6/19;
+    # one duplicated 5-gram, cnt 2 × len 9 = 18 of 19 chars
+    assert out[1]["n_tokens"] == 10
+    assert out[1]["dup_word_frac"] == 0.5
+    assert out[1]["top_2gram_frac"] == 6 / 19
+    assert out[1]["dup_5gram_frac"] == 18 / 19
+    # doc 2: overlapping duplicated 5-grams sum past the doc → clamp
+    assert out[2]["dup_5gram_frac"] == 1.0
+    # doc 3: no 2-grams (coalesce path), nothing duplicated
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["dup_word_frac"] == 0.0
+    assert out[3]["top_2gram_frac"] == 0.0
+    assert out[3]["dup_5gram_frac"] == 0.0
+    assert out[5]["dup_word_frac"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id bigint, text varchar)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        int(r[0]): r
+        for r in con.execute(repetition_stats_sql()).fetchall()
+    }
+    assert set(oracle) == set(out)
+    for did, r in out.items():
+        o = oracle[did]
+        assert (
+            r["n_tokens"], r["dup_word_frac"], r["top_2gram_frac"],
+            r["dup_5gram_frac"],
+        ) == (o[1], o[2], o[3], o[4]), did
+
+
 def test_winnow_fingerprints_guarantees(spark):
     """Winnowing invariants (Schleimer et al. 2003): (1) coverage — the
     gap between consecutive selected positions is < w, so every window
