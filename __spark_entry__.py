@@ -736,6 +736,29 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.repetition_stats(_docs(spark, sf_dir))
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Dolma-style segment-level exact dedup with doc rewrite:
+    first occurrence of each 20-token block survives corpus-wide; one
+    partial-aggregating shuffle on the 63-bit block key (skew-robust —
+    no window over the key), one join back, one per-doc rollup."""
+    return dp_dedup.paragraph_dedup(_docs(spark, sf_dir))
+
+
+def _q_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-distribution Shannon entropy quality proxy: per-row only,
+    zero shuffles — fixed-alphabet length(replace()) counting, no
+    explode-to-chars relation."""
+    return dp_text.entropy_stats(_docs(spark, sf_dir))
+
+
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter under the corpus's own add-k
+    bigram LM: one (doc_id,w1,w2) partial-agg shuffle trains the model
+    counts, two vocabulary-keyed hash joins + 1-row broadcast score it;
+    the corpus text is tokenized exactly once."""
+    return dp_text.lm_perplexity(_docs(spark, sf_dir))
+
+
 def _q_turn_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d1_log_aggregation_spark.operators.analytics import (
         turn_gap_quantiles,
@@ -877,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_oracle_gate.py plus the committed SWEEP artifact."""
     return {
         # --- new / newly value-oracled in round 5 -------------------------
+        "paragraph_dedup": _q_paragraph_dedup,
+        "entropy_stats": _q_entropy_stats,
+        "lm_perplexity": _q_lm_perplexity,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1029,6 +1055,9 @@ def oracle_sql() -> dict[str, str]:
             "rare_token_stats": dp_text.rare_token_stats_sql(),
             "bigram_novelty": dp_text.bigram_novelty_sql(),
             "repetition_stats": dp_text.repetition_stats_sql(),
+            "paragraph_dedup": dp_oracle.paragraph_dedup_sql(),
+            "entropy_stats": dp_text.entropy_stats_sql(),
+            "lm_perplexity": dp_text.lm_perplexity_sql(),
             "corpus_split": dp_sampling.corpus_split_sql("documents"),
             "split_leakage": dp_oracle.split_leakage_sql(min_common=5),
             "quality_rule_stats": dp_text.quality_rule_stats_sql(),

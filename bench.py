@@ -342,6 +342,17 @@ def run_round_ops(spark) -> dict:
             # r5: Gopher repetition filters — explode + two aggs, no join
             "repetition_stats":
                 lambda: dp_text.repetition_stats(docs),
+            # r5: segment-level exact dedup + doc rewrite — one
+            # partial-agg shuffle on the block key, one join back
+            "paragraph_dedup":
+                lambda: dp_dedup.paragraph_dedup(docs),
+            # r5: per-row char entropy — zero shuffles, pure codegen
+            "entropy_stats":
+                lambda: dp_text.entropy_stats(docs),
+            # r5: corpus-trained bigram-LM perplexity filter — one
+            # bigram partial-agg shuffle + two vocab-keyed joins
+            "lm_perplexity":
+                lambda: dp_text.lm_perplexity(docs),
             # r5: train/eval leakage audit — shingle semi-join
             "split_leakage":
                 lambda: dp_dedup.split_leakage(docs, min_common=5),

@@ -785,6 +785,101 @@ def split_leakage(
 
 
 # --------------------------------------------------------------------------
+# 7b. Paragraph/segment-level exact dedup with document rewrite.
+# --------------------------------------------------------------------------
+
+PARA_BLOCK_TOKENS = 20
+# (doc_id, block_idx) → one int64 first-occurrence position; block_idx
+# stays < 2^20 for docs up to ~20M tokens, doc_id must stay < 2^43
+PARA_POS_MOD = 1 << 20
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_tokens: int = PARA_BLOCK_TOKENS,
+) -> DataFrame:
+    """(doc_id, n_blocks, n_dup_blocks, text_deduped): corpus-wide
+    segment-level exact dedup in the CCNet / Dolma / RefinedWeb
+    paragraph-dedup shape — the FIRST occurrence (in (doc_id, block_idx)
+    order) of each distinct segment survives, every later identical
+    segment anywhere in the corpus is cut, and each document's text is
+    rewritten from its kept segments.  Segmentation here is
+    non-overlapping blocks of ``block_tokens`` normalized tokens (this
+    corpus carries no newline/paragraph marks); with a separator-ful
+    corpus, swap the tokenizer for a split on the separator — the dedup
+    machinery downstream of the block relation is identical.
+
+    Scale shape (100 TB): one explode to the block relation, then ONE
+    partial-aggregating shuffle on the 63-bit block key to find first
+    occurrences — a window ``row_number() over (partition by key)``
+    would funnel every copy of a hot boilerplate block into one task,
+    while ``groupBy(key).agg(min(pos))`` crushes hot keys map-side.
+    The join back is a shuffle join whose build side is one row per
+    distinct key, and the per-doc rollup shuffles block text once —
+    unavoidable for a rewrite op (the output IS the text).  No window,
+    no Python, no driver state.
+
+    Reference parity: no analog in d1_log_aggregation (log pipeline);
+    training-data-pipeline first-class op (SURVEY §2 extension family)."""
+    toks = F.filter(
+        F.split(norm_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    with_toks = docs.select("doc_id", toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    n_blocks = F.floor((n + (block_tokens - 1)) / block_tokens).cast("int")
+    blocks_col = F.transform(
+        F.sequence(F.lit(1), n_blocks),
+        lambda i: F.array_join(
+            F.slice(
+                F.col("_toks"),
+                (i - F.lit(1)) * F.lit(block_tokens) + F.lit(1),
+                F.lit(block_tokens),
+            ),
+            " ",
+        ),
+    )
+    bl = (
+        with_toks.where(n >= 1)
+        .select("doc_id", F.posexplode(blocks_col).alias("i0", "block"))
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).cast("long").alias("block_idx"),
+            "block",
+            shingle_key(F.col("block")).alias("bk"),
+        )
+    )
+    pos = F.col("doc_id") * F.lit(PARA_POS_MOD) + F.col("block_idx")
+    firsts = bl.groupBy("bk").agg(F.min(pos).alias("first_pos"))
+    marked = bl.join(firsts, "bk").withColumn(
+        "is_dup", pos != F.col("first_pos")
+    )
+    kept = F.when(
+        ~F.col("is_dup"), F.struct(F.col("block_idx"), F.col("block"))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("is_dup").cast("long")).alias("n_dup_blocks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda s: s["block"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.col("n_dup_blocks").cast("long").alias("n_dup_blocks"),
+            "text_deduped",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 8. Duplicate-cluster connected components (iterative min-label).
 # --------------------------------------------------------------------------
 
@@ -804,14 +899,19 @@ def dedup_components(
     control: keep exactly one representative per transitive group, count
     cluster sizes, inspect what got merged.
 
-    Iterative min-label propagation (Pregel-lite, the standard
-    large-scale CC on Spark): every vertex adopts the min label among
-    itself and its neighbors until fixpoint — ≤ graph-diameter
-    iterations, each one join + groupBy on the (small) pair graph, with
-    labels persisted per round.  The pair graph is orders of magnitude
-    smaller than the corpus (only dup-pair members appear), so the
-    driver-side loop iterates over megabytes even at 100 TB corpus
-    scale."""
+    Iterative min-label propagation WITH pointer doubling (the
+    Shiloach-Vishkin shortcut used by the alternating-star CC family,
+    Kiveris et al. 2014): each round every vertex adopts the min label
+    among itself and its neighbors (one join + groupBy on the pair
+    graph), then jumps to its label's label (one self-join on the label
+    relation — path compression).  Labels are monotone non-increasing
+    and label[v] ≤ v, so the jump is always downhill and the fixpoint
+    is the component min; the shortcut turns O(diameter) rounds into
+    O(log diameter) — a 10^6-long templated-boilerplate dup CHAIN
+    converges in ~20 rounds instead of 10^6.  The pair graph is orders
+    of magnitude smaller than the corpus (only dup-pair members
+    appear), so the driver-side loop iterates over megabytes even at
+    100 TB corpus scale."""
     from pyspark import StorageLevel
 
     docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -850,7 +950,7 @@ def dedup_components(
             .groupBy(F.col("a").alias("doc_id"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        new_labels = (
+        hop = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -861,6 +961,30 @@ def dedup_components(
             )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # pointer doubling: label := label[label].  component_id is
+        # always the id of some vertex in the graph, label[v] ≤ v, so
+        # the jump is downhill and halves label-chain depth per round.
+        # The self-join references `hop` twice, so the logical plan
+        # would DOUBLE per round (2^rounds nodes — driver OOM by round
+        # ~10); localCheckpoint truncates lineage to the materialized
+        # partitions each round, keeping every round's plan constant.
+        new_labels = (
+            hop.join(
+                hop.select(
+                    F.col("doc_id").alias("component_id"),
+                    F.col("component_id").alias("_grand"),
+                ),
+                "component_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("_grand"), F.col("component_id")).alias(
+                    "component_id"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("component_id", "old"), "doc_id"
@@ -870,6 +994,7 @@ def dedup_components(
             .count()
         )
         labels.unpersist()  # superseded round's cache
+        hop.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -859,6 +859,60 @@ WHERE e.split <> 'train'
 """
 
 
+def paragraph_dedup_sql(
+    src: str = "documents",
+    text_col: str = "text",
+    block_tokens: int = D.PARA_BLOCK_TOKENS,
+) -> str:
+    """Twin of dedup.paragraph_dedup: first occurrence per 63-bit block
+    key survives ((doc_id, block_idx) order encoded as one int64), docs
+    rewritten from kept blocks via ordered list agg."""
+    w = block_tokens
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    key = D.SHINGLE_KEY_SQL.format(c="block")
+    mod = D.PARA_POS_MOD
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+  FROM {src}
+),
+bl0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, (len(toks) + {w - 1}) // {w} + 1),
+           i -> struct_pack(
+             bi := i,
+             b := array_to_string(toks[((i-1)*{w}+1):(i*{w})], ' ')
+           ))) AS u
+  FROM tk WHERE len(toks) >= 1
+),
+bl AS (
+  SELECT doc_id, cast(u.bi AS bigint) AS block_idx, u.b AS block,
+         {key} AS bk
+  FROM bl0
+),
+firsts AS (
+  SELECT bk, min(doc_id * {mod} + block_idx) AS first_pos
+  FROM bl GROUP BY bk
+),
+marked AS (
+  SELECT b.doc_id, b.block_idx, b.block,
+         (b.doc_id * {mod} + b.block_idx) <> f.first_pos AS is_dup
+  FROM bl b JOIN firsts f ON b.bk = f.bk
+)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_blocks,
+       cast(coalesce(sum(CASE WHEN is_dup THEN 1 ELSE 0 END), 0)
+            AS bigint) AS n_dup_blocks,
+       coalesce(
+         array_to_string(
+           list(block ORDER BY block_idx) FILTER (WHERE NOT is_dup), ' '),
+         '') AS text_deduped
+FROM marked GROUP BY doc_id
+"""
+
+
 def dedup_components_sql(
     threshold: float = 0.5, max_df: int = D.MAX_SHINGLE_DF
 ) -> str:

@@ -1173,3 +1173,239 @@ SELECT doc_id,
          AS dup_5gram_frac
 FROM agg
 """
+
+
+# --- Char-distribution entropy (compression-ratio quality proxy) ----------
+# Shannon entropy of the per-document character distribution over a fixed
+# 37-symbol alphabet (a-z, 0-9, space) plus ONE residual "other" bucket.
+# Low entropy flags degenerate text (one repeated char, binary junk);
+# it's the cheap deterministic stand-in for the gzip-ratio quality signal
+# (which no SQL engine can reproduce bit-for-bit).
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def entropy_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, distinct_symbols, char_entropy, space_frac,
+    other_frac) per document.
+
+    Scale shape: per-row ONLY — zero shuffles, zero explodes, zero
+    Python.  Symbol counts come from the fixed-alphabet
+    ``length(s) - length(replace(s, ch, ''))`` trick (37 symbols + one
+    residual bucket = 38 codegen'd expressions per row), entropy is the
+    plain ``-Σ p·ln p`` over those counts.  An explode-to-chars
+    formulation would shuffle a ×|doc| character relation for the same
+    answer.  Entropy is written ``0.0 - Σ`` in BOTH engines so the
+    all-one-symbol doc yields +0.0 (not IEEE -0.0) on each side."""
+    s = _norm_ws(F.col(text_col))
+    base = docs.select("doc_id", s.alias("_s")).where(F.length("_s") >= 1)
+    n = F.length(F.col("_s")).cast("long")
+    nd = n.cast("double")
+    cnts = [
+        (
+            F.length(F.col("_s"))
+            - F.length(F.replace(F.col("_s"), F.lit(ch), F.lit("")))
+        ).cast("long")
+        for ch in ENTROPY_ALPHABET
+    ]
+    other = n
+    for c in cnts:
+        other = other - c
+    all_cnts = cnts + [other]
+
+    def term(c: Column) -> Column:
+        p = c.cast("double") / nd
+        return F.when(c > 0, p * F.log(p)).otherwise(F.lit(0.0))
+
+    total = term(all_cnts[0])
+    for c in all_cnts[1:]:
+        total = total + term(c)
+    distinct = (all_cnts[0] > 0).cast("long")
+    for c in all_cnts[1:]:
+        distinct = distinct + (c > 0).cast("long")
+    space_cnt = cnts[ENTROPY_ALPHABET.index(" ")]
+    return base.select(
+        "doc_id",
+        n.alias("n_chars"),
+        distinct.alias("distinct_symbols"),
+        (F.lit(0.0) - total).alias("char_entropy"),
+        (space_cnt.cast("double") / nd).alias("space_frac"),
+        (other.cast("double") / nd).alias("other_frac"),
+    )
+
+
+def entropy_stats_sql(src: str = "documents", text_col: str = "text") -> str:
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    cnt_cols = ", ".join(
+        f"cast(length(t) - length(replace(t, '{ch}', '')) AS bigint)"
+        f" AS c{i}"
+        for i, ch in enumerate(ENTROPY_ALPHABET)
+    )
+    idxs = list(range(len(ENTROPY_ALPHABET)))
+    sum_cnts = " + ".join(f"c{i}" for i in idxs)
+    names = [f"c{i}" for i in idxs] + ["oth"]
+    terms = " + ".join(
+        f"CASE WHEN {c} > 0 THEN ({c}*1.0/n)*ln({c}*1.0/n) ELSE 0.0 END"
+        for c in names
+    )
+    distinct = " + ".join(
+        f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 END)" for c in names
+    )
+    sp = f"c{ENTROPY_ALPHABET.index(' ')}"
+    return f"""
+WITH s AS (
+  SELECT doc_id, {norm} AS t FROM {src} WHERE length({norm}) >= 1
+),
+c AS (
+  SELECT doc_id, cast(length(t) AS bigint) AS n, {cnt_cols} FROM s
+),
+e AS (
+  SELECT *, n - ({sum_cnts}) AS oth FROM c
+)
+SELECT doc_id,
+       n AS n_chars,
+       cast({distinct} AS bigint) AS distinct_symbols,
+       0.0 - ({terms}) AS char_entropy,
+       {sp}*1.0/n AS space_frac,
+       oth*1.0/n AS other_frac
+FROM e
+"""
+
+
+# --- Corpus-trained bigram-LM perplexity (CCNet-style quality filter) -----
+# CCNet/RefinedWeb filter web text by LM perplexity under a reference
+# model.  A pretrained KenLM cannot be reproduced cross-engine, so the
+# reference model here is the corpus's OWN add-k-smoothed bigram LM —
+# fully deterministic, trainable in two aggregates, and still separating
+# fluent text (low cross-entropy) from template-stitched / shuffled junk
+# (high), which is exactly the signal the filter thresholds on.
+
+LM_ADD_K = 0.5
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    add_k: float = LM_ADD_K,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, cross_entropy, ppl) per document under the
+    corpus's own add-k bigram LM: p(w2|w1) = (c(w1,w2)+k)/(c(w1·)+k·V)
+    with c(w1·) the history count (Σ_w2 c(w1,w2)) and V the bigram-type
+    vocabulary; cross_entropy = -(Σ m·ln p)/Σ m over the doc's bigrams,
+    ppl = exp(cross_entropy).  Docs with < 2 tokens have no bigrams and
+    drop out (both engines).  Because the LM is trained on the same
+    corpus it scores, every doc bigram exists in the count relation —
+    inner joins, no OOV branch.
+
+    Scale shape: ONE (doc_id,w1,w2) partial-aggregating shuffle builds
+    the per-doc bigram multiplicity relation; it is materialized
+    (``scratch_dir``, fresh-dir-per-call) or persisted (the
+    rare_token_stats contract) because model counts (c(w1,w2)), history
+    counts (c(w1·)), and V are each ONE independent aggregate derived
+    from it — the corpus text is tokenized exactly once.  Scoring is
+    two hash joins on the bigram/history keys (vocabulary-sized build
+    sides — NOT broadcast) plus a 1-row broadcast of V, then a per-doc
+    rollup.  No window, no Python, no driver-side model state."""
+    toks_col = F.filter(
+        F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
+    )
+    with_toks = docs.select("doc_id", toks_col.alias("_toks"))
+    n = F.size(F.col("_toks"))
+    idx = F.when(n >= 2, F.sequence(F.lit(2), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = with_toks.select(
+        "doc_id", F.col("_toks"), F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        F.element_at("_toks", F.col("i") - 1).alias("w1"),
+        F.element_at("_toks", F.col("i")).alias("w2"),
+    )
+    doc_bg = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    if scratch_dir is not None:
+        spark = docs.sparkSession
+        doc_bg.write.mode("overwrite").parquet(f"{scratch_dir}/lm_doc_bg")
+        doc_bg = spark.read.parquet(f"{scratch_dir}/lm_doc_bg")
+    else:
+        from pyspark import StorageLevel
+
+        doc_bg = doc_bg.persist(StorageLevel.MEMORY_AND_DISK)
+    bg_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("m").alias("cb"))
+    hist = doc_bg.groupBy("w1").agg(F.sum("m").alias("cu"))
+    vocab = doc_bg.select(
+        F.explode(F.array("w1", "w2")).alias("w")
+    ).agg(F.count_distinct("w").alias("v"))
+    lnp = F.log(
+        (F.col("cb") + F.lit(add_k))
+        / (F.col("cu") + F.lit(add_k) * F.col("v"))
+    )
+    scored = (
+        doc_bg.join(bg_counts, ["w1", "w2"])
+        .join(hist, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "m", lnp.alias("_lnp"))
+    )
+    ce = F.lit(0.0) - F.sum(F.col("m") * F.col("_lnp")) / F.sum("m")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            ce.alias("cross_entropy"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "cross_entropy",
+            F.exp("cross_entropy").alias("ppl"),
+        )
+    )
+
+
+def lm_perplexity_sql(
+    src: str = "documents",
+    text_col: str = "text",
+    add_k: float = LM_ADD_K,
+) -> str:
+    """Twin of lm_perplexity: same tokenization, same count relations,
+    same add-k formula; ``0.0 -`` form pins +0.0 like entropy_stats."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    k = repr(float(add_k))
+    return f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split({norm}, ' '), x -> x <> '') AS toks
+  FROM {src}
+),
+bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(2, len(toks) + 1),
+           i -> struct_pack(a := toks[i-1], b := toks[i]))) AS u
+  FROM tk WHERE len(toks) >= 2
+),
+doc_bg AS (
+  SELECT doc_id, u.a AS w1, u.b AS w2, cast(count(*) AS bigint) AS m
+  FROM bg0 GROUP BY 1, 2, 3
+),
+bgc AS (SELECT w1, w2, sum(m) AS cb FROM doc_bg GROUP BY 1, 2),
+hist AS (SELECT w1, sum(m) AS cu FROM doc_bg GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM doc_bg UNION ALL SELECT w2 FROM doc_bg)
+),
+sc AS (
+  SELECT d.doc_id, d.m,
+         ln((b.cb + {k}) / (h.cu + {k} * voc.v)) AS lnp
+  FROM doc_bg d
+  JOIN bgc b ON d.w1 = b.w1 AND d.w2 = b.w2
+  JOIN hist h ON d.w1 = h.w1, voc
+)
+SELECT doc_id,
+       cast(sum(m) AS bigint) AS n_bigrams,
+       0.0 - sum(m * lnp) / sum(m) AS cross_entropy,
+       exp(0.0 - sum(m * lnp) / sum(m)) AS ppl
+FROM sc GROUP BY doc_id
+"""

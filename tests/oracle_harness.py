@@ -17,6 +17,11 @@ TABLES = [
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # duckdb 1.0.0's default thread pool (= all cores) has shown rare
+    # nondeterministic multi-thread spins on this box when a Spark JVM
+    # shares it; a bounded pool sidesteps the pathological schedule and
+    # loses nothing at oracle scale factors (sf ≤ 0.01)
+    con.execute("SET threads TO 4")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -77,6 +82,9 @@ def compare(name: str, spark_df, duck_df: pd.DataFrame) -> list[str]:
 
 
 def run_gate(sf_dir: str, spark, only: list[str] | None = None) -> dict:
+    import sys
+    import time
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -86,6 +94,17 @@ def run_gate(sf_dir: str, spark, only: list[str] | None = None) -> dict:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # progress heartbeat so a hung query is identifiable even when
+        # pytest captures stderr (flushed BEFORE the query runs); the
+        # side-channel file survives a killed run
+        import os
+
+        hb = os.environ.get("GATE_HEARTBEAT_FILE")
+        line = f"[gate {time.strftime('%H:%M:%S')}] {name}"
+        print(line, file=sys.stderr, flush=True)
+        if hb:
+            with open(hb, "a") as f:
+                f.write(line + "\n")
         if name not in osql:
             # rows-only: no value oracle, but the Spark query must still
             # EXECUTE (a crash here must fail the gate, not pass it)
@@ -108,4 +127,5 @@ def run_gate(sf_dir: str, spark, only: list[str] | None = None) -> dict:
         except Exception as exc:  # noqa: BLE001
             problems = [f"spark error: {exc}"]
         results[name] = problems or ["OK"]
+    con.close()
     return results

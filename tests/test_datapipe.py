@@ -687,3 +687,174 @@ def test_winnow_fingerprints_guarantees(spark):
     assert h1 & h2, "shared run produced no shared fingerprint"
     # (3) disjoint docs share nothing
     assert not (h1 & h3) and not (h2 & h3)
+
+
+def test_paragraph_dedup_semantics(spark):
+    """Segment-level exact dedup with block_tokens=3 so blocks are
+    hand-computable: first corpus-wide occurrence (in (doc_id,
+    block_idx) order) survives, later identical blocks anywhere —
+    including within the SAME doc — are cut, docs are rewritten from
+    kept blocks in order, and whitespace-only docs drop.  DuckDB twin
+    agrees exactly."""
+    import duckdb
+
+    from d1_log_aggregation_spark.datapipe.dedup import paragraph_dedup
+    from d1_log_aggregation_spark.datapipe.oracle import paragraph_dedup_sql
+
+    rows = [
+        (1, "a b c d e f"),        # blocks: "a b c", "d e f" — both first
+        (2, "a b c x y z"),        # "a b c" dup of doc1, "x y z" kept
+        (3, "d e f d e f d"),      # both "d e f" dup; tail "d" kept
+        (4, "   "),                # tokenizes to nothing → dropped
+        (5, "p q"),                # one short block, kept
+        (6, "m n o m n o"),        # within-doc dup: 2nd block cut
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, block_tokens=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 5, 6}
+    assert (out[1]["n_blocks"], out[1]["n_dup_blocks"]) == (2, 0)
+    assert out[1]["text_deduped"] == "a b c d e f"
+    assert (out[2]["n_blocks"], out[2]["n_dup_blocks"]) == (2, 1)
+    assert out[2]["text_deduped"] == "x y z"
+    assert (out[3]["n_blocks"], out[3]["n_dup_blocks"]) == (3, 2)
+    assert out[3]["text_deduped"] == "d"
+    assert out[5]["text_deduped"] == "p q"
+    assert (out[6]["n_blocks"], out[6]["n_dup_blocks"]) == (2, 1)
+    assert out[6]["text_deduped"] == "m n o"
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id bigint, text varchar)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        int(r[0]): r
+        for r in con.execute(
+            paragraph_dedup_sql(block_tokens=3)
+        ).fetchall()
+    }
+    assert set(oracle) == set(out)
+    for did, r in out.items():
+        o = oracle[did]
+        assert (
+            r["n_blocks"], r["n_dup_blocks"], r["text_deduped"]
+        ) == (o[1], o[2], o[3]), did
+
+
+def test_entropy_stats_semantics(spark):
+    """Char-entropy quality proxy on hand-built docs: single-symbol doc
+    is exactly +0.0 (the 0.0-minus-sum form), two equiprobable symbols
+    give ln 2, out-of-alphabet chars land in the residual bucket, the
+    whitespace-only doc drops, and the DuckDB twin agrees to 1e-12."""
+    import math
+
+    import duckdb
+
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        entropy_stats,
+        entropy_stats_sql,
+    )
+
+    rows = [
+        (1, "aaaa"),   # one symbol → H = 0.0
+        (2, "ab"),     # two equiprobable → ln 2
+        (3, "a!"),     # '!' → other bucket
+        (4, "   "),    # norm → "" → dropped
+        (5, "a b"),    # space is its own symbol → ln 3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in entropy_stats(docs).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1]["char_entropy"] == 0.0
+    assert math.copysign(1.0, out[1]["char_entropy"]) == 1.0  # not -0.0
+    assert (out[1]["n_chars"], out[1]["distinct_symbols"]) == (4, 1)
+    assert abs(out[2]["char_entropy"] - math.log(2)) < 1e-12
+    assert out[3]["distinct_symbols"] == 2
+    assert out[3]["other_frac"] == 0.5
+    assert abs(out[3]["char_entropy"] - math.log(2)) < 1e-12
+    assert abs(out[5]["char_entropy"] - math.log(3)) < 1e-12
+    assert out[5]["space_frac"] == 1 / 3
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id bigint, text varchar)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        int(r[0]): r for r in con.execute(entropy_stats_sql()).fetchall()
+    }
+    assert set(oracle) == set(out)
+    for did, r in out.items():
+        o = oracle[did]
+        assert (r["n_chars"], r["distinct_symbols"]) == (o[1], o[2]), did
+        for i, c in [(3, "char_entropy"), (4, "space_frac"),
+                     (5, "other_frac")]:
+            assert abs(r[c] - o[i]) < 1e-12, (did, c)
+
+
+def test_lm_perplexity_semantics(spark):
+    """Corpus-trained add-k bigram LM: the all-repeated-bigram doc has
+    hand-computable cross-entropy -ln((c12+k)/(c1·+k·V)); docs with < 2
+    tokens drop; the uniform doc1 scores lower (more fluent under its
+    own LM) than the one-shot doc2; DuckDB twin agrees to 1e-9."""
+    import math
+
+    import duckdb
+
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        LM_ADD_K,
+        lm_perplexity,
+        lm_perplexity_sql,
+    )
+
+    rows = [
+        (1, "a b a b a b"),  # (a,b)x3 (b,a)x2
+        (2, "a b c d"),      # one-shot bigrams
+        (3, "x"),            # no bigram → dropped
+        (4, "   "),          # dropped
+        (5, "a a a a"),      # (a,a)x3
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    assert set(out) == {1, 2, 5}
+    # corpus: cb(a,a)=3, cb(a,b)=4, cb(b,a)=2, cb(b,c)=1, cb(c,d)=1
+    # hist: c(a·)=7, c(b·)=3, c(c·)=1; V={a,b,c,d}=4
+    k = LM_ADD_K
+    exp5 = -math.log((3 + k) / (7 + k * 4))
+    assert abs(out[5]["cross_entropy"] - exp5) < 1e-12
+    assert abs(out[5]["ppl"] - math.exp(exp5)) < 1e-12
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 3
+    assert out[1]["cross_entropy"] < out[2]["cross_entropy"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id bigint, text varchar)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = {
+        int(r[0]): r for r in con.execute(lm_perplexity_sql()).fetchall()
+    }
+    assert set(oracle) == set(out)
+    for did, r in out.items():
+        o = oracle[did]
+        assert r["n_bigrams"] == o[1], did
+        assert abs(r["cross_entropy"] - o[2]) < 1e-9, did
+        assert abs(r["ppl"] - o[3]) < 1e-9, did
+
+
+def test_dedup_components_chain_converges_logarithmically(spark):
+    """A 40-doc near-dup CHAIN (doc_i overlaps only doc_i±1 — the
+    templated-boilerplate shape) has diameter 39: plain min-label
+    propagation needs ~39 rounds, so max_iter=12 only converges because
+    of the pointer-doubling shortcut (O(log diameter) rounds).  All 40
+    docs must land in ONE component labeled by the min doc_id."""
+    from d1_log_aggregation_spark.datapipe.dedup import dedup_components
+
+    # doc_i = block_i ++ block_{i+1}, each block 6 unique tokens: with
+    # k=3 shingles, adjacent docs share 4 of 16 distinct shingles
+    # (J=0.25), docs 2+ apart share none.
+    blocks = [
+        " ".join(f"tk{i}x{j}" for j in range(6)) for i in range(41)
+    ]
+    rows = [(i, blocks[i] + " " + blocks[i + 1]) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_components(docs, threshold=0.2, max_iter=12).collect()
+    assert len(out) == 40
+    assert {r["component_id"] for r in out} == {0}

@@ -123,3 +123,45 @@ def test_broadcast_dim_sizes_are_dimension_tables(spark):
     sm = dims.sysmeta_df(spark, SF)
     assert reg.count() < 100_000
     assert sm.count() < 1_000_000
+
+
+def test_entropy_stats_plan_has_zero_exchanges(spark):
+    """entropy_stats is per-row only: the fixed-alphabet replace()
+    counting must compile to a pure scan→project plan — any Exchange
+    means someone re-introduced an explode-to-chars relation."""
+    from d1_log_aggregation_spark.datapipe.textstats import entropy_stats
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(entropy_stats(docs))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_paragraph_dedup_plan_partial_agg_no_window(spark):
+    """paragraph_dedup's first-occurrence pass must be the skew-robust
+    groupBy-min (map-side partial_min before the block-key exchange),
+    NEVER a window over the block key (hot boilerplate blocks would
+    funnel into one task); and the join back must not go cartesian."""
+    from d1_log_aggregation_spark.datapipe.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(paragraph_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "window over block key reintroduced"
+    assert "partial_min" in plan, "first-occurrence agg lost map-side combine"
+    # design budget: bk agg + bk re-exchange for the probe side + doc
+    # rollup — the firsts side reuses the agg's output partitioning
+    assert n_hash_exchanges(plan) <= 4, plan[:2000]
+
+
+def test_lm_perplexity_plan_no_cartesian_no_window(spark):
+    """lm_perplexity trains and scores via keyed aggregates + hash
+    joins: the only nested-loop allowed is the 1-row broadcast of the
+    vocabulary scalar; no window, no corpus-sized broadcast."""
+    from d1_log_aggregation_spark.datapipe.textstats import lm_perplexity
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    plan = plan_of(lm_perplexity(docs))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # model counts, history counts and V all partial-agg map-side
+    assert "partial_sum" in plan or "partial_count" in plan
