@@ -759,6 +759,13 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.lm_perplexity(_docs(spark, sf_dir))
 
 
+def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture composition audit: per-(source, lang_id) doc
+    counts, quality pass rate, corpus token share — one partial-agg
+    shuffle to a bounded cell relation + unpartitioned window over it."""
+    return dp_text.corpus_mix(_docs(spark, sf_dir))
+
+
 def _q_turn_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d1_log_aggregation_spark.operators.analytics import (
         turn_gap_quantiles,
@@ -903,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "entropy_stats": _q_entropy_stats,
         "lm_perplexity": _q_lm_perplexity,
+        "corpus_mix": _q_corpus_mix,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1058,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
             "paragraph_dedup": dp_oracle.paragraph_dedup_sql(),
             "entropy_stats": dp_text.entropy_stats_sql(),
             "lm_perplexity": dp_text.lm_perplexity_sql(),
+            "corpus_mix": dp_oracle.corpus_mix_sql(),
             "corpus_split": dp_sampling.corpus_split_sql("documents"),
             "split_leakage": dp_oracle.split_leakage_sql(min_common=5),
             "quality_rule_stats": dp_text.quality_rule_stats_sql(),

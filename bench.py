@@ -353,6 +353,9 @@ def run_round_ops(spark) -> dict:
             # bigram partial-agg shuffle + two vocab-keyed joins
             "lm_perplexity":
                 lambda: dp_text.lm_perplexity(docs),
+            # r5: mixture composition — one agg + window over cells
+            "corpus_mix":
+                lambda: dp_text.corpus_mix(docs),
             # r5: train/eval leakage audit — shingle semi-join
             "split_leakage":
                 lambda: dp_dedup.split_leakage(docs, min_common=5),

@@ -1026,3 +1026,47 @@ near AS (
 SELECT s.doc_id, s.text FROM survivors s
 WHERE s.doc_id NOT IN (SELECT doc_id FROM near)
 """
+
+
+def corpus_mix_sql() -> str:
+    """Twin of textstats.corpus_mix: per-(source, lang_id) doc counts,
+    quality-gate pass rate, and corpus token share; the inner per-row
+    stats are the same textstats/lang fragments doc_textstats uses,
+    plus the source column carried through."""
+    ts = T.textstats_sql()
+    return f"""
+WITH b AS (
+  SELECT doc_id, source,
+    {ts['n_ws_tokens']} AS n_ws_tokens,
+    {ts['n_alpha']} AS n_alpha,
+    {ts['n_punct']} AS n_punct,
+    {ts['n_chars']} AS n_chars,
+    {T.lang_id_sql()} AS lang_id
+  FROM documents
+),
+q AS (
+  SELECT source, lang_id, n_ws_tokens,
+    (n_ws_tokens >= 10
+     AND CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars
+              ELSE 0.0 END > 0.5
+     AND CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+              ELSE 0.0 END < 0.2
+     AND CASE WHEN n_ws_tokens > 0
+              THEN (n_chars - n_ws_tokens + 1) * 1.0 / n_ws_tokens
+              ELSE 0.0 END BETWEEN 2.0 AND 12.0) AS quality_ok
+  FROM b
+),
+agg AS (
+  SELECT source, lang_id,
+         cast(count(*) AS bigint) AS n_docs,
+         cast(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS bigint)
+           AS n_quality_ok,
+         cast(sum(n_ws_tokens) AS bigint) AS total_tokens
+  FROM q GROUP BY source, lang_id
+)
+SELECT source, lang_id, n_docs, n_quality_ok,
+       n_quality_ok * 1.0 / n_docs AS quality_rate,
+       total_tokens,
+       total_tokens * 1.0 / sum(total_tokens) OVER () AS token_share
+FROM agg
+"""

@@ -1409,3 +1409,43 @@ SELECT doc_id,
        exp(0.0 - sum(m * lnp) / sum(m)) AS ppl
 FROM sc GROUP BY doc_id
 """
+
+
+# --- Corpus composition / training-mixture audit --------------------------
+
+
+def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, lang_id, n_docs, n_quality_ok, quality_rate,
+    total_tokens, token_share): the training-mixture composition
+    dashboard — how much each (source, language) cell contributes to
+    the corpus, and how much of it survives the quality gate.  This is
+    the table mixture reweighting (`mixture_weights`) and stratified
+    sampling start from.
+
+    Scale shape: the per-row signals (with_textstats + with_lang_id)
+    are pure codegen'd expressions, then ONE partial-aggregating
+    shuffle to the (source, lang_id) cell cardinality — a bounded
+    dimension-like relation — and the corpus token total is an
+    unpartitioned window over THAT bounded relation (the node_staleness
+    single-derivation pattern: the corpus is scanned exactly once; an
+    agg-joined-back form would execute the scan twice)."""
+    st = with_lang_id(with_textstats(docs, text_col), text_col)
+    agg = st.groupBy("source", "lang_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("quality_ok").cast("long")).alias("n_quality_ok"),
+        F.sum("n_ws_tokens").alias("total_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.withColumn(
+        "_corpus_tokens", F.sum("total_tokens").over(w)
+    ).select(
+        "source",
+        "lang_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_quality_ok").cast("long").alias("n_quality_ok"),
+        (F.col("n_quality_ok") / F.col("n_docs")).alias("quality_rate"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        (F.col("total_tokens") / F.col("_corpus_tokens")).alias(
+            "token_share"
+        ),
+    )

@@ -17,11 +17,13 @@ TABLES = [
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # duckdb 1.0.0's default thread pool (= all cores) has shown rare
-    # nondeterministic multi-thread spins on this box when a Spark JVM
-    # shares it; a bounded pool sidesteps the pathological schedule and
-    # loses nothing at oracle scale factors (sf ≤ 0.01)
-    con.execute("SET threads TO 4")
+    # duckdb 1.0.0's parallel task scheduler nondeterministically spins
+    # forever on this box (observed repeatedly on the enrich_geo_range
+    # range-join/IEJoin oracle: N worker threads at 100% CPU, no
+    # progress, in otherwise-healthy fresh processes).  Single-threading
+    # removes the scheduler from the picture entirely and costs nothing
+    # at oracle scale factors (sf ≤ 0.01).
+    con.execute("SET threads TO 1")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

@@ -858,3 +858,56 @@ def test_dedup_components_chain_converges_logarithmically(spark):
     out = dedup_components(docs, threshold=0.2, max_iter=12).collect()
     assert len(out) == 40
     assert {r["component_id"] for r in out} == {0}
+
+
+def test_corpus_mix_semantics(spark):
+    """Composition audit on a hand-built corpus: cell counts, quality
+    rates and token shares are exact; shares sum to 1; DuckDB twin
+    agrees."""
+    import duckdb
+
+    from d1_log_aggregation_spark.datapipe.textstats import corpus_mix
+    from d1_log_aggregation_spark.datapipe.oracle import corpus_mix_sql
+
+    good = ("the quick brown fox jumps over the lazy dog and "
+            "that is fine with everyone here today")  # 16 tokens, en
+    junk = "!!! ??? !!! ??? !!!"
+    rows = [
+        (1, good, "en", "web", len(good)),
+        (2, good + " again", "en", "web", len(good) + 6),
+        (3, junk, "und", "web", len(junk)),
+        (4, good, "en", "books", len(good)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    out = {(r["source"], r["lang_id"]): r
+           for r in corpus_mix(docs).collect()}
+    web_en = out[("web", "en")]
+    assert (web_en["n_docs"], web_en["n_quality_ok"]) == (2, 2)
+    books_en = out[("books", "en")]
+    assert (books_en["n_docs"], books_en["n_quality_ok"]) == (1, 1)
+    junk_cell = out[("web", "und")]
+    assert junk_cell["n_quality_ok"] == 0
+    assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-12
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents (doc_id bigint, text varchar, "
+        "lang varchar, source varchar, n_chars bigint)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?, ?, ?, ?)", rows
+    )
+    oracle = {
+        (r[0], r[1]): r for r in con.execute(corpus_mix_sql()).fetchall()
+    }
+    assert set(oracle) == set(out)
+    for cell, r in out.items():
+        o = oracle[cell]
+        assert (r["n_docs"], r["n_quality_ok"], r["total_tokens"]) == (
+            o[2], o[3], o[5]
+        ), cell
+        assert abs(r["quality_rate"] - o[4]) < 1e-12, cell
+        assert abs(r["token_share"] - o[6]) < 1e-12, cell

@@ -66,6 +66,13 @@ TARGETS = [
     "enrich_geo_range",
     "robot_flags_fullscale",
     "winnow_fingerprints",
+    "repetition_stats",
+    "split_leakage",
+    "paragraph_dedup",
+    "entropy_stats",
+    "lm_perplexity",
+    "dedup_components",
+    "corpus_mix",
 ]
 
 PATTERNS = {

@@ -35,6 +35,7 @@ def main() -> None:
     osql = entrymod.oracle_sql()
     results: dict[str, dict] = {}
     for name, fn in qs.items():
+        print(f"# start {name}", file=sys.stderr, flush=True)
         rec = {
             "rows_match": False,
             "schema_match": False,
