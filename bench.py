@@ -415,7 +415,7 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
     replication grows the PROBLEM, not the duplicate count per doc."""
     from pyspark.sql import functions as F
 
-    from d1_log_aggregation_spark.datapipe import dedup, vectors
+    from d1_log_aggregation_spark.datapipe import dedup, textstats, vectors
     from d1_log_aggregation_spark.datapipe.corpus import load_corpus
     from d1_log_aggregation_spark.session import get_spark
 
@@ -482,6 +482,13 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
         # scratch dirs tracked + removed via _ScratchDirs (each holds a
         # corpus-scale parquet index — leaking them fills /tmp)
         "corpus_deduped_scratch": lambda d: dedup.corpus_deduped(
+            d, scratch_dir=scratch.fresh()
+        ),
+        # r5 heavy ops: one block-key partial-agg shuffle + join back;
+        # one bigram partial-agg shuffle + two vocab-keyed joins (the
+        # scratch hatch keeps the bigram relation off the session cache)
+        "paragraph_dedup": lambda d: dedup.paragraph_dedup(d),
+        "lm_perplexity": lambda d: textstats.lm_perplexity(
             d, scratch_dir=scratch.fresh()
         ),
     }

@@ -71,6 +71,7 @@ TARGETS = [
     "paragraph_dedup",
     "entropy_stats",
     "lm_perplexity",
+    "lm_perplexity_scratch",
     "dedup_components",
     "corpus_mix",
 ]
@@ -158,6 +159,11 @@ def _overrides() -> dict:
             lambda s, d: _dp_text().bigram_novelty(
                 s.read.parquet(f"{d}/documents.parquet"),
                 scratch_dir=_scratch("plans_bgn_"),
+            ),
+        "lm_perplexity_scratch":
+            lambda s, d: _dp_text().lm_perplexity(
+                s.read.parquet(f"{d}/documents.parquet"),
+                scratch_dir=_scratch("plans_lmp_"),
             ),
     }
 
