@@ -20,6 +20,7 @@ from d1_log_aggregation_spark.datapipe import dedup as dp_dedup
 from d1_log_aggregation_spark.datapipe import multimodal as dp_mm
 from d1_log_aggregation_spark.datapipe import oracle as dp_oracle
 from d1_log_aggregation_spark.datapipe import sampling as dp_sampling
+from d1_log_aggregation_spark.datapipe import selection as dp_sel
 from d1_log_aggregation_spark.datapipe.search import (
     similar_docs_topk_sql as dp_search_sql,
 )
@@ -766,6 +767,21 @@ def _q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.corpus_mix(_docs(spark, sf_dir))
 
 
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights against a target domain
+    (Xie et al. 2023): one (doc,bucket) partial-agg shuffle builds the
+    feature relation, the B-row smoothed log-ratio model broadcasts to
+    the scoring join."""
+    return dp_sel.dsir_weights(_docs(spark, sf_dir))
+
+
+def _q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram saturation per doc (Lee et al. 2022 signal):
+    explode → one (doc,gram-key) partial-agg shuffle, gram doc-frequency
+    as a second agg over the same key, integer-ppm output."""
+    return dp_sel.dup_ngram_stats(_docs(spark, sf_dir))
+
+
 def _q_turn_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from d1_log_aggregation_spark.operators.analytics import (
         turn_gap_quantiles,
@@ -911,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_stats": _q_entropy_stats,
         "lm_perplexity": _q_lm_perplexity,
         "corpus_mix": _q_corpus_mix,
+        "dsir_weights": _q_dsir_weights,
+        "dup_ngram_stats": _q_dup_ngram_stats,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1067,6 +1085,8 @@ def oracle_sql() -> dict[str, str]:
             "entropy_stats": dp_text.entropy_stats_sql(),
             "lm_perplexity": dp_text.lm_perplexity_sql(),
             "corpus_mix": dp_oracle.corpus_mix_sql(),
+            "dsir_weights": dp_sel.dsir_weights_sql(),
+            "dup_ngram_stats": dp_sel.dup_ngram_stats_sql(),
             "corpus_split": dp_sampling.corpus_split_sql("documents"),
             "split_leakage": dp_oracle.split_leakage_sql(min_common=5),
             "quality_rule_stats": dp_text.quality_rule_stats_sql(),

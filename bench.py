@@ -289,6 +289,11 @@ def run_round_ops(spark) -> dict:
 
         return search
 
+    def _dp_sel():
+        from d1_log_aggregation_spark.datapipe import selection
+
+        return selection
+
     def _rolling_distinct_users():
         from d1_log_aggregation_spark.operators.analytics import (
             rolling_distinct_users,
@@ -363,6 +368,16 @@ def run_round_ops(spark) -> dict:
             # the 222/214-term alternation's per-row rlike cost
             "robot_classify_fullscale":
                 lambda: entry._q_robot_flags_fullscale(spark, SF_DIR),
+            # r5: DSIR importance weights — one (doc,bucket) partial-agg
+            # shuffle + broadcast of the B-row log-ratio model
+            "dsir_weights": lambda: _dp_sel().dsir_weights(
+                docs, scratch_dir=scratch.fresh()
+            ),
+            # r5: duplicate-5-gram saturation — one (doc,gram) partial-
+            # agg shuffle reused by the doc-frequency agg + score join
+            "dup_ngram_stats": lambda: _dp_sel().dup_ngram_stats(
+                docs, scratch_dir=scratch.fresh()
+            ),
         }
         # layout rewrite is a writer, not a noop-materialize job: time
         # the range-cluster + sort + parquet write of the routed table

@@ -911,3 +911,59 @@ def test_corpus_mix_semantics(spark):
         ), cell
         assert abs(r["quality_rate"] - o[4]) < 1e-12, cell
         assert abs(r["token_share"] - o[6]) < 1e-12, cell
+
+
+def test_dup_ngram_stats_semantics(spark):
+    """Planted duplicate 5-gram spans: a window is dup iff its gram
+    occurs in >= 2 distinct docs; within-doc repetition alone is not dup;
+    docs with < k tokens drop out; ppm is integer-exact."""
+    from d1_log_aggregation_spark.datapipe.selection import dup_ngram_stats
+
+    shared = "alpha beta gamma delta epsilon"  # one shared 5-gram
+    rows = [
+        (1, shared + " zeta eta theta iota kappa"),   # 6 windows, 1 dup
+        (2, "x1 x2 " + shared),                        # 3 windows, 1 dup
+        (3, "solo only four tokens"),                  # < 5 tokens: drops
+        (4, "r r r r r r"),                            # self-repeat only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dup_ngram_stats(docs).collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (6, 1)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (3, 1)
+    # doc 4: "r r r r r" twice over 2 window positions, but no OTHER doc
+    # carries the gram -> zero dup
+    assert (out[4]["n_windows"], out[4]["n_dup_windows"]) == (2, 0)
+    assert out[1]["dup_ppm"] == 1_000_000 // 6
+    assert out[2]["dup_ppm"] == 333_333
+
+
+def test_dsir_weights_semantics(spark):
+    """Target-domain lookalikes RANK above alien-vocab docs (the weight
+    is a log-likelihood ratio: only ordering is meaningful — with add-1
+    smoothing over B buckets the absolute sign is smoothing-dominated at
+    toy scale); n_feats = token count - 1; sub-2-token docs drop out."""
+    from d1_log_aggregation_spark.datapipe.selection import dsir_weights
+
+    tgt = "good clean prose about science and careful measurement"
+    alien = "zz9 qq8 vv7 kk6 jj5 hh4 gg3 ff2"
+    rows = [
+        (1, tgt, "en", "src0", len(tgt)),
+        (2, tgt, "en", "src0", len(tgt)),
+        (3, tgt, "en", "src9", len(tgt)),      # target lookalike
+        (4, alien, "en", "src9", len(alien)),  # alien vocab
+        (5, "one", "en", "src9", 3),           # 1 token: drops out
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(docs, "src0").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["n_feats"] == len(tgt.split()) - 1
+    assert out[3]["log_weight"] == out[1]["log_weight"]
+    assert out[4]["log_weight"] < out[3]["log_weight"]
+    # per-bucket ratio of a never-in-target bucket is strictly below a
+    # target bucket's, so the alien doc's PER-FEATURE average is too
+    assert (out[4]["log_weight"] / out[4]["n_feats"]
+            < out[3]["log_weight"] / out[3]["n_feats"])

@@ -74,6 +74,10 @@ TARGETS = [
     "lm_perplexity_scratch",
     "dedup_components",
     "corpus_mix",
+    "dsir_weights",
+    "dsir_weights_scratch",
+    "dup_ngram_stats",
+    "dup_ngram_stats_scratch",
 ]
 
 PATTERNS = {
@@ -165,6 +169,16 @@ def _overrides() -> dict:
                 s.read.parquet(f"{d}/documents.parquet"),
                 scratch_dir=_scratch("plans_lmp_"),
             ),
+        "dsir_weights_scratch":
+            lambda s, d: _dp_sel().dsir_weights(
+                s.read.parquet(f"{d}/documents.parquet"),
+                scratch_dir=_scratch("plans_dsw_"),
+            ),
+        "dup_ngram_stats_scratch":
+            lambda s, d: _dp_sel().dup_ngram_stats(
+                s.read.parquet(f"{d}/documents.parquet"),
+                scratch_dir=_scratch("plans_dng_"),
+            ),
     }
 
 
@@ -187,6 +201,12 @@ def _dp_text():
     from d1_log_aggregation_spark.datapipe import textstats
 
     return textstats
+
+
+def _dp_sel():
+    from d1_log_aggregation_spark.datapipe import selection
+
+    return selection
 
 
 def _load_corpus():
