@@ -165,3 +165,31 @@ def test_lm_perplexity_plan_no_cartesian_no_window(spark):
     assert "Window" not in plan
     # model counts, history counts and V all partial-agg map-side
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_selection_ops_plan_shapes(spark, tmp_path):
+    """The r5 selection family's 100 TB properties: dsir_weights joins
+    the B-row log-ratio model by BROADCAST (never a fact-side sort-merge
+    or cartesian), and dup_ngram_stats on its scratch (production) path
+    reads the materialized window relation instead of re-tokenizing the
+    corpus per consumer — the final plan touches no documents scan."""
+    from d1_log_aggregation_spark.datapipe import selection
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    w = selection.dsir_weights(
+        docs, scratch_dir=str(tmp_path / "dsir")
+    )
+    plan = plan_of(w)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+    d = selection.dup_ngram_stats(
+        docs, scratch_dir=str(tmp_path / "dng")
+    )
+    plan = plan_of(d)
+    assert "CartesianProduct" not in plan
+    assert "documents.parquet" not in plan, (
+        "scratch path re-scanned the corpus"
+    )
