@@ -530,8 +530,26 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): k-means clusters over the dup-planted
+    vector corpus, within-cluster cosine prune — the sixth dedup-family
+    member (exact / Jaccard / MinHash / SimHash / sign-sketch / semantic)."""
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    return vectors.semdedup(
+        vectors.load_vector_corpus(spark, sf_dir),
+        n_centroids=8, n_iters=2, eps=0.95,
+    )
+
+
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_ann.brute_force_topk(_embs(spark, sf_dir))
+
+
+def _q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured IVF recall vs the exact top-k, per query — the ANN
+    path's no-silent-caps audit (dedup_cap_stats' treatment for LSH)."""
+    return dp_ann.recall_audit(_embs(spark, sf_dir))
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -810,6 +828,18 @@ def _q_quality_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.quality_rule_stats(_docs(spark, sf_dir))
 
 
+def _q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative quality-gate funnel: docs surviving each rule in
+    pipeline order — one agg pass, stack() unpivot of the agg row."""
+    return dp_text.filter_funnel(_docs(spark, sf_dir))
+
+
+def _q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per lang × source: BPE pieces per whitespace
+    word, chars/bytes per token — one segment-cardinality aggregate."""
+    return dp_text.token_fertility(_docs(spark, sf_dir))
+
+
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_ann.embedding_stats(_embs(spark, sf_dir))
 
@@ -918,9 +948,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FIRST 50 entries.  Round-5 rotation (VERDICT r4 item 2): the window
     holds (a) the queries new or newly value-oracled this round, (b) the
     27 queries whose latest driver row was r1-r3 (rotated out by the r4
-    window), and (c) the pipeline core.  The tail past the window is all
-    driver-green FROM ROUND 4 and re-swept every pytest run by
-    tests/test_oracle_gate.py plus the committed SWEEP artifact."""
+    window), and (c) the pipeline core.  Every entry past the window has
+    a driver-green ROUND-4 row (asserted when the order was set) and is
+    re-swept every pytest run by tests/test_oracle_gate.py plus the
+    committed SWEEP artifact."""
     return {
         # --- new / newly value-oracled in round 5 -------------------------
         "paragraph_dedup": _q_paragraph_dedup,
@@ -929,6 +960,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,
         "dsir_weights": _q_dsir_weights,
         "dup_ngram_stats": _q_dup_ngram_stats,
+        "semdedup": _q_semdedup,
+        "filter_funnel": _q_filter_funnel,
+        "token_fertility": _q_token_fertility,
+        "ann_recall_audit": _q_ann_recall_audit,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1034,11 +1069,13 @@ def oracle_sql() -> dict[str, str]:
             "simhash_pairs": dp_oracle.simhash_pairs_sql(3),
             "ann_bruteforce_topk": dp_oracle.brute_force_topk_sql(),
             "ann_ivf_topk": dp_oracle.ivf_topk_sql(),
+            "ann_recall_audit": dp_oracle.recall_audit_sql(),
             "ann_lsh_topk": dp_oracle.lsh_topk_sql(),
             "embedding_neardup_bruteforce":
                 dp_oracle.embedding_neardup_bruteforce_sql(0.9, sample_mod=5),
             "embedding_neardup_pairs":
                 dp_oracle.embedding_neardup_pairs_sql(0.9),
+            "semdedup": dp_oracle.semdedup_sql(),
             "multimodal_features": dp_oracle.multimodal_features_sql(),
             "multimodal_audio_features":
                 dp_oracle.multimodal_audio_features_sql(),
@@ -1090,6 +1127,8 @@ def oracle_sql() -> dict[str, str]:
             "corpus_split": dp_sampling.corpus_split_sql("documents"),
             "split_leakage": dp_oracle.split_leakage_sql(min_common=5),
             "quality_rule_stats": dp_text.quality_rule_stats_sql(),
+            "filter_funnel": dp_text.filter_funnel_sql(),
+            "token_fertility": dp_text.token_fertility_sql(),
             "embedding_stats": dp_oracle.embedding_stats_sql(),
         }
     )

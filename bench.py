@@ -246,6 +246,7 @@ def run_datapipe(spark) -> dict:
             "ann_ivf_topk": lambda: ann.ivf_topk(embs),
             "embedding_neardup_pairs":
                 lambda: vectors.embedding_neardup_pairs(vcorp),
+            "semdedup": lambda: vectors.semdedup(vcorp),
         }
         for name, fn in jobs.items():
             for _ in range(2):  # warm (JIT convergence, see warm-up)

@@ -496,3 +496,49 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def recall_audit(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 2,
+) -> DataFrame:
+    """(query_id, n_brute, n_overlap, recall_at_k): the approximate
+    index's MEASURED recall against the exact top-k, per query — the
+    "no silent caps" audit for the IVF path (the same first-class-number
+    treatment dedup_cap_stats gives the posting-list cap).  An ANN
+    deployment that reports hits but never its recall is unfalsifiable;
+    this makes the quality/number-of-probes trade-off a queryable
+    relation you can alert on when an ingest shifts the embedding
+    distribution.
+
+    Composition, not new machinery: brute_force_topk is the exact
+    baseline (one corpus matmul pass), ivf_topk the production path;
+    overlap is an equi-join on (query_id, neighbor_id) over two k-row
+    relations per query — the audit's own cost beyond the two searches
+    is negligible at any scale.  recall uses n_brute (not k) as the
+    denominator so corpora smaller than k still audit to 1.0."""
+    b = brute_force_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    v = ivf_topk(
+        embeddings, n_queries, k, n_centroids, nprobe, n_iters
+    ).select("query_id", "neighbor_id")
+    bc = b.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_brute"))
+    ov = (
+        b.join(v, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_ov"))
+    )
+    return bc.join(ov, "query_id", "left").select(
+        "query_id",
+        "n_brute",
+        F.coalesce(F.col("n_ov"), F.lit(0).cast("long")).alias("n_overlap"),
+        (
+            F.coalesce(F.col("n_ov"), F.lit(0).cast("long"))
+            / F.col("n_brute")
+        ).alias("recall_at_k"),
+    )

@@ -417,11 +417,14 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
 
-def _kmeans_ctes(n_centroids: int, n_iters: int) -> str:
+def _kmeans_ctes(n_centroids: int, n_iters: int, src: str = "base2") -> str:
     """Unrolled integer k-means iterations (twin of ann.kmeans_centroids):
     cents_0 = first C vectors; each round assigns by quantized cosine and
     rebuilds centroids as per-dimension floor-means (exact in both
-    engines).  The final trained table is aliased ``cents``."""
+    engines).  The final trained table is aliased ``cents``.  ``src``
+    names the (vec_id, qvec, qnorm2) relation to train over — ``base2``
+    (raw embeddings, the ANN path) or ``vbase2`` (the dup-planted vector
+    corpus, the semdedup path)."""
     cos = (
         lambda qa, qb, a, b: f"round(cast({_qdot(a, b)} AS bigint)"
         f" / sqrt(cast({qa} AS double) * cast({qb} AS double)), 9)"
@@ -430,7 +433,7 @@ def _kmeans_ctes(n_centroids: int, n_iters: int) -> str:
         f"""
 cents_0 AS (
   SELECT vec_id AS centroid_id, qvec AS qv_c, qnorm2 AS qn_b
-  FROM base2 WHERE vec_id < {n_centroids}
+  FROM {src} WHERE vec_id < {n_centroids}
 )"""
     ]
     for it in range(n_iters):
@@ -445,14 +448,14 @@ a_{it} AS (
       ORDER BY {cos('b.qnorm2', 'c.qn_b', 'b.qvec', 'c.qv_c')} DESC,
                c.centroid_id ASC
     ) AS r
-    FROM base2 b CROSS JOIN cents_{it} c
+    FROM {src} b CROSS JOIN cents_{it} c
   ) WHERE r = 1
 ),
 m_{it} AS (
   SELECT a.centroid_id,
          generate_subscripts(b.qvec, 1) AS pos,
          unnest(b.qvec) AS val
-  FROM a_{it} a JOIN base2 b ON a.vec_id = b.vec_id
+  FROM a_{it} a JOIN {src} b ON a.vec_id = b.vec_id
 ),
 d_{it} AS (
   SELECT centroid_id, pos,
@@ -606,6 +609,47 @@ FROM cands c
 JOIN vbase2 a ON a.vec_id = c.vec_a
 JOIN vbase2 b ON b.vec_id = c.vec_b
 WHERE {_vcos('a.qnorm2', 'b.qnorm2', 'a.qvec', 'b.qvec')} >= {threshold}
+"""
+
+
+def semdedup_sql(
+    n_centroids: int = 8, n_iters: int = 2, eps: float = 0.95
+) -> str:
+    """Twin of vectors.semdedup: k-means over the dup-planted vector
+    corpus (``vbase2``), within-cluster exact-cosine pairs at ≥ eps, and
+    per pair drop the member MORE typical of its cluster (higher rounded
+    cosine-to-centroid; tie → the higher vec_id, i.e. the planted copy)."""
+    return f"""
+WITH {_vec_base_cte()},
+{_kmeans_ctes(n_centroids, n_iters, src="vbase2")},
+assign0 AS (
+  SELECT b.vec_id, c.centroid_id,
+         {_vcos('b.qnorm2', 'c.qn_b', 'b.qvec', 'c.qv_c')} AS cosine
+  FROM vbase2 b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, centroid_id, cosine AS cos_centroid FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, centroid_id ASC
+    ) AS r FROM assign0
+  ) WHERE r = 1
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.cos_centroid AS ca, b.cos_centroid AS cb
+  FROM assign a
+  JOIN assign b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN vbase2 va ON va.vec_id = a.vec_id
+  JOIN vbase2 vb ON vb.vec_id = b.vec_id
+  WHERE {_vcos('va.qnorm2', 'vb.qnorm2', 'va.qvec', 'vb.qvec')} >= {eps}
+),
+dropped AS (
+  SELECT DISTINCT CASE WHEN ca > cb THEN vec_a ELSE vec_b END AS vec_id
+  FROM pairs
+)
+SELECT a.vec_id, a.centroid_id, a.cos_centroid,
+       (d.vec_id IS NULL) AS kept
+FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
 """
 
 
@@ -1069,4 +1113,35 @@ SELECT source, lang_id, n_docs, n_quality_ok,
        total_tokens,
        total_tokens * 1.0 / sum(total_tokens) OVER () AS token_share
 FROM agg
+"""
+
+
+def recall_audit_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iters: int = 2,
+) -> str:
+    """Twin of ann.recall_audit: the two published search twins as
+    scoped subqueries (each carries its own WITH), overlap-joined."""
+    brute = brute_force_topk_sql(n_queries, k)
+    ivf = ivf_topk_sql(n_queries, k, n_centroids, nprobe, n_iters)
+    return f"""
+WITH b AS ({brute}),
+v AS ({ivf}),
+bc AS (
+  SELECT query_id, cast(count(*) AS bigint) AS n_brute
+  FROM b GROUP BY query_id
+),
+ov AS (
+  SELECT b.query_id, cast(count(*) AS bigint) AS n_ov
+  FROM b JOIN v ON b.query_id = v.query_id
+             AND b.neighbor_id = v.neighbor_id
+  GROUP BY b.query_id
+)
+SELECT bc.query_id, bc.n_brute,
+       cast(coalesce(ov.n_ov, 0) AS bigint) AS n_overlap,
+       coalesce(ov.n_ov, 0) * 1.0 / bc.n_brute AS recall_at_k
+FROM bc LEFT JOIN ov ON bc.query_id = ov.query_id
 """

@@ -906,6 +906,191 @@ FROM rules GROUP BY lang_id
 """
 
 
+def token_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(lang, source, n_docs, n_ws_tokens, n_bpe_tokens, n_chars,
+    n_bytes, chars_per_ws_token, bytes_per_bpe_token, bpe_per_ws_token):
+    tokenizer FERTILITY profile per corpus segment — the standard
+    tokenizer-evaluation table (how many BPE-ish pieces a whitespace word
+    shatters into, and how many raw chars/bytes a token carries, per
+    language × source).  A segment whose bytes-per-token spikes signals
+    a script the tokenizer fragments (fertility cost ∝ training FLOPs
+    per document).
+
+    Token counts are with_textstats' exact expressions (whitespace + the
+    BPE-ish regex); chars/bytes are RAW text (length / octet_length) —
+    fertility measures what the tokenizer will actually ingest, not the
+    normalized form.  One scan + one segment-cardinality aggregate; all
+    sums exact int64, ratios single divisions of exact ints (NULL when
+    the denominator is 0, both engines)."""
+    st = with_textstats(docs, text_col)
+    out = st.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_ws_tokens").alias("n_ws_tokens"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.sum(F.length(F.col(text_col)).cast("long")).alias("n_chars"),
+        F.sum(F.octet_length(F.col(text_col)).cast("long")).alias("n_bytes"),
+    )
+    return out.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "n_chars",
+        "n_bytes",
+        F.when(
+            F.col("n_ws_tokens") > 0, F.col("n_chars") / F.col("n_ws_tokens")
+        ).alias("chars_per_ws_token"),
+        F.when(
+            F.col("n_bpe_tokens") > 0, F.col("n_bytes") / F.col("n_bpe_tokens")
+        ).alias("bytes_per_bpe_token"),
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.col("n_bpe_tokens") / F.col("n_ws_tokens"),
+        ).alias("bpe_per_ws_token"),
+    )
+
+
+def token_fertility_sql(src: str = "documents", text_col: str = "text") -> str:
+    ts = textstats_sql(text_col)
+    return f"""
+WITH st AS (
+  SELECT lang, source,
+         {ts['n_ws_tokens']} AS t_ws,
+         {ts['n_bpe_tokens']} AS t_bpe,
+         cast(length({text_col}) AS bigint) AS c,
+         cast(strlen({text_col}) AS bigint) AS b
+  FROM {src}
+),
+agg AS (
+  SELECT lang, source,
+         cast(count(*) AS bigint) AS n_docs,
+         cast(sum(t_ws) AS bigint) AS n_ws_tokens,
+         cast(sum(t_bpe) AS bigint) AS n_bpe_tokens,
+         cast(sum(c) AS bigint) AS n_chars,
+         cast(sum(b) AS bigint) AS n_bytes
+  FROM st GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_ws_tokens, n_bpe_tokens, n_chars, n_bytes,
+       CASE WHEN n_ws_tokens > 0
+            THEN n_chars * 1.0 / n_ws_tokens END AS chars_per_ws_token,
+       CASE WHEN n_bpe_tokens > 0
+            THEN n_bytes * 1.0 / n_bpe_tokens END AS bytes_per_bpe_token,
+       CASE WHEN n_ws_tokens > 0
+            THEN n_bpe_tokens * 1.0 / n_ws_tokens END AS bpe_per_ws_token
+FROM agg
+"""
+
+
+FUNNEL_RULES = ("minlen", "alpha", "punct", "toklen")
+
+
+def filter_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(stage, rule, docs_in, docs_out, dropped, survival_rate): the
+    CUMULATIVE quality-gate funnel — how many documents survive after
+    each rule applied IN ORDER (minlen → alpha → punct → toklen, exactly
+    with_textstats' quality_ok conjuncts).  quality_rule_stats answers
+    "which rule fires, marginally, per language"; the funnel answers the
+    pipeline-tuning question "where does my corpus actually go" — rule
+    ordering matters because a doc failing two rules is charged to the
+    FIRST, the way a sequential filter pipeline bills it.
+
+    ONE aggregate pass over the corpus (k cumulative-conjunction sums in
+    a single agg row), then a driver-free stack() unpivot of that row —
+    never k filtered scans.  Integer counts + one ratio per stage, so
+    both engines agree exactly; an EMPTY corpus yields k stages of
+    docs_in = 0 with NULL survival_rate in both."""
+    st = with_textstats(docs, text_col)
+    ok = {
+        "minlen": F.col("n_ws_tokens") >= 10,
+        "alpha": F.col("alpha_ratio") > 0.5,
+        "punct": F.col("punct_ratio") < 0.2,
+        "toklen": F.col("mean_token_len").between(2.0, 12.0),
+    }
+    aggs = [F.count(F.lit(1)).alias("n0")]
+    cum = None
+    for i, name in enumerate(FUNNEL_RULES, start=1):
+        cum = ok[name] if cum is None else (cum & ok[name])
+        aggs.append(
+            F.coalesce(F.sum(cum.cast("long")), F.lit(0).cast("long"))
+            .alias(f"n{i}")
+        )
+    row = st.agg(*aggs)
+    stack = ", ".join(
+        f"cast({i} AS bigint), '{name}', n{i - 1}, n{i}"
+        for i, name in enumerate(FUNNEL_RULES, start=1)
+    )
+    return (
+        row.selectExpr(
+            f"stack({len(FUNNEL_RULES)}, {stack})"
+            " AS (stage, rule, docs_in, docs_out)"
+        )
+        .select(
+            "stage",
+            "rule",
+            "docs_in",
+            "docs_out",
+            (F.col("docs_in") - F.col("docs_out")).alias("dropped"),
+            F.when(
+                F.col("docs_in") > 0,
+                F.col("docs_out") / F.col("docs_in"),
+            ).alias("survival_rate"),
+        )
+    )
+
+
+def filter_funnel_sql(src: str = "documents", text_col: str = "text") -> str:
+    ts = textstats_sql(text_col)
+    return f"""
+WITH st AS (
+  SELECT {ts['n_ws_tokens']} AS n_ws_tokens,
+         {ts['n_alpha']} AS n_alpha,
+         {ts['n_punct']} AS n_punct,
+         {ts['n_chars']} AS n_chars
+  FROM {src}
+),
+rules AS (
+  SELECT n_ws_tokens >= 10 AS ok_minlen,
+         (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars
+               ELSE 0.0 END) > 0.5 AS ok_alpha,
+         (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars
+               ELSE 0.0 END) < 0.2 AS ok_punct,
+         (CASE WHEN n_ws_tokens > 0
+               THEN (n_chars - n_ws_tokens + 1) * 1.0 / n_ws_tokens
+               ELSE 0.0 END) BETWEEN 2.0 AND 12.0 AS ok_toklen
+  FROM st
+),
+agg AS (
+  SELECT cast(count(*) AS bigint) AS n0,
+         cast(coalesce(sum(CASE WHEN ok_minlen
+                           THEN 1 ELSE 0 END), 0) AS bigint) AS n1,
+         cast(coalesce(sum(CASE WHEN ok_minlen AND ok_alpha
+                           THEN 1 ELSE 0 END), 0) AS bigint) AS n2,
+         cast(coalesce(sum(CASE WHEN ok_minlen AND ok_alpha AND ok_punct
+                           THEN 1 ELSE 0 END), 0) AS bigint) AS n3,
+         cast(coalesce(sum(CASE WHEN ok_minlen AND ok_alpha AND ok_punct
+                           AND ok_toklen
+                           THEN 1 ELSE 0 END), 0) AS bigint) AS n4
+  FROM rules
+),
+stages AS (
+  SELECT cast(1 AS bigint) AS stage, 'minlen' AS rule,
+         n0 AS docs_in, n1 AS docs_out FROM agg
+  UNION ALL
+  SELECT cast(2 AS bigint), 'alpha', n1, n2 FROM agg
+  UNION ALL
+  SELECT cast(3 AS bigint), 'punct', n2, n3 FROM agg
+  UNION ALL
+  SELECT cast(4 AS bigint), 'toklen', n3, n4 FROM agg
+)
+SELECT stage, rule, docs_in, docs_out,
+       docs_in - docs_out AS dropped,
+       CASE WHEN docs_in > 0 THEN docs_out * 1.0 / docs_in END
+         AS survival_rate
+FROM stages
+"""
+
+
 BIGRAM_MIN_DF = 2
 
 

@@ -346,3 +346,115 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return verified.select("vec_a", "vec_b", "cosine")
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 2,
+    eps: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup (cluster-then-prune, the published
+    web-scale recipe — Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings, compare pairs only WITHIN a cluster, and for every pair
+    at cosine ≥ eps drop the member MORE typical of its cluster (higher
+    cosine-to-centroid — SemDeDup keeps the example farthest from the
+    cluster center as the most informative representative; ties drop the
+    higher vec_id, i.e. the planted copy).  Returns one row per corpus
+    vector: (vec_id, centroid_id, cos_centroid, kept).
+
+    This completes the dedup family's vector branch: exact / Jaccard /
+    MinHash-LSH / SimHash / sign-sketch near-dup / SEMANTIC.  It differs
+    from ``embedding_neardup_pairs`` in both recall shape and scale
+    story: LSH bands catch near-IDENTICAL vectors; clustering catches
+    semantically-close ones at any band distance, and the quadratic
+    all-pairs cost is bounded per cluster — at 100 TB you scale
+    n_centroids with the corpus (the paper runs 50k clusters on 5B
+    embeddings) so cluster sizes, and hence the self-join fan-out, stay
+    constant.  Centroids are trained once (driver-bounded, MLlib-style,
+    exact int arithmetic — ``ann.kmeans_centroids``) and ride in the
+    scorer's Arrow closure; the corpus makes ONE matmul assignment pass,
+    then one shuffle on centroid_id for the within-cluster self-join
+    (hot clusters → AQE skew split).
+
+    Determinism contract (the full-value-oracle property): quantized
+    int64 vectors, exact integer dots, cosines rounded to 9 places
+    BEFORE every rank/threshold decision — Spark and the DuckDB twin
+    (``oracle.semdedup_sql``) agree bit-for-bit on clusters, pairs, and
+    drops."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .ann import kmeans_centroids, score_against_rows
+
+    # persisted: feeds the assignment scorer and both pair sides
+    base = (
+        with_qvec(embeddings)
+        .select("vec_id", "qvec", "qnorm2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    trained = kmeans_centroids(embeddings, n_centroids, n_iters).collect()
+    cent_rows = [
+        (r["centroid_id"], list(r["qv_c"]), r["qn_b"]) for r in trained
+    ]
+    scored = score_against_rows(base, cent_rows, "centroid_id").withColumn(
+        "cosine", F.round(cosine_col(), 9)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    # persisted: referenced by both self-join sides and the final output
+    # (Catalyst re-executes un-cached subtrees per reference)
+    asg = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "vec_id", "centroid_id", F.col("cosine").alias("cos_centroid")
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sided = asg.join(base, "vec_id")
+    a = sided.select(
+        F.col("vec_id").alias("vec_a"),
+        "centroid_id",
+        F.col("cos_centroid").alias("ca"),
+        F.col("qvec").alias("qv_a"),
+        F.col("qnorm2").alias("qn_a"),
+    )
+    b = sided.select(
+        F.col("vec_id").alias("vec_b"),
+        "centroid_id",
+        F.col("cos_centroid").alias("cb"),
+        F.col("qvec").alias("qv_b"),
+        F.col("qnorm2").alias("qn_b"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "ca",
+            "cb",
+            "vec_a",
+            "vec_b",
+            qdot_pairs(F.col("qv_a"), F.col("qv_b")).alias("qd"),
+            "qn_a",
+            "qn_b",
+        )
+        .withColumn("cosine", F.round(cosine_col(), 9))
+        .filter(F.col("cosine") >= eps)
+    )
+    dropped = (
+        pairs.select(
+            F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_d", F.lit(True))
+    )
+    return asg.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "centroid_id",
+        "cos_centroid",
+        F.col("_d").isNull().alias("kept"),
+    )

@@ -967,3 +967,132 @@ def test_dsir_weights_semantics(spark):
     # target bucket's, so the alien doc's PER-FEATURE average is too
     assert (out[4]["log_weight"] / out[4]["n_feats"]
             < out[3]["log_weight"] / out[3]["n_feats"])
+
+
+def test_semdedup_prunes_planted_copies(spark):
+    """Semantic dedup over the dup-planted vector corpus: (a) one output
+    row per corpus vector, (b) for every planted (i, i+N) pair whose
+    members land in the SAME cluster exactly the MORE-central member is
+    dropped, (c) nothing outside the planted families is dropped (random
+    64-dim vectors never reach cosine 0.95), (d) overall planted recall
+    is high (clustering can split a pair across a boundary, so not 100%
+    by construction)."""
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    vc = vectors.load_vector_corpus(spark, SF)
+    n = 500  # sf0.001 embeddings
+    out = {
+        r["vec_id"]: r
+        for r in vectors.semdedup(vc, n_centroids=8, n_iters=2,
+                                  eps=0.95).collect()
+    }
+    assert len(out) == n + n // 10
+
+    planted = [(i, i + n) for i in range(n) if i % 10 == 0]
+    co_clustered = [
+        (a, b) for a, b in planted
+        if out[a]["centroid_id"] == out[b]["centroid_id"]
+    ]
+    dropped = {v for v, r in out.items() if not r["kept"]}
+    for a, b in co_clustered:
+        assert (a in dropped) or (b in dropped)
+        # the keep rule: the member MORE typical of the cluster goes
+        ca, cb = out[a]["cos_centroid"], out[b]["cos_centroid"]
+        loser = a if ca > cb else b
+        assert loser in dropped
+    # drops only ever come from planted families
+    family = {v for pair in planted for v in pair}
+    assert dropped <= family, dropped - family
+    assert len(co_clustered) / len(planted) >= 0.8
+
+
+def test_filter_funnel_semantics(spark):
+    """Cumulative billing: a doc failing several rules is dropped at the
+    FIRST failing stage; docs_in of stage k = docs_out of stage k-1; the
+    final docs_out equals the corpus quality_ok count."""
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        filter_funnel,
+        with_textstats,
+    )
+
+    good = ("solid clean prose with enough plain words to pass every "
+            "single quality gate easily")
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, good + " again and again", "en", "s", 1),
+        (3, "too short", "en", "s", 9),                      # fails minlen
+        (4, "!!! ??? ... ;;; ### $$$ %%% ^^^ &&& ***", "en", "s", 40),
+        # ^ 10 tokens (passes minlen) but zero alpha: billed to alpha
+        (5, "a b c d e f g h i j k l m n o p q r s t", "en", "s", 40),
+        # ^ passes minlen+alpha+punct, mean_token_len 1.0: billed toklen
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    out = {r["stage"]: r for r in filter_funnel(docs).collect()}
+    assert [out[s]["rule"] for s in (1, 2, 3, 4)] == [
+        "minlen", "alpha", "punct", "toklen"
+    ]
+    assert out[1]["docs_in"] == 5 and out[1]["docs_out"] == 4
+    assert out[2]["docs_in"] == 4 and out[2]["docs_out"] == 3
+    assert out[3]["docs_in"] == 3 and out[3]["docs_out"] == 3
+    assert out[4]["docs_in"] == 3 and out[4]["docs_out"] == 2
+    assert out[1]["dropped"] == 1 and out[4]["survival_rate"] == 2 / 3
+    n_ok = with_textstats(docs).filter("quality_ok").count()
+    assert out[4]["docs_out"] == n_ok
+
+    # chaining invariant on the real corpus too
+    corpus = load_corpus(spark, SF)
+    f = sorted(filter_funnel(corpus).collect(), key=lambda r: r["stage"])
+    for prev, cur in zip(f, f[1:]):
+        assert cur["docs_in"] == prev["docs_out"]
+
+
+def test_token_fertility_semantics(spark):
+    """Exact group sums: whitespace tokens, raw chars vs UTF-8 bytes
+    (multibyte text must show bytes > chars), and ratio consistency."""
+    from d1_log_aggregation_spark.datapipe.textstats import token_fertility
+
+    t_en = "plain ascii words here"
+    t_de = "schöne wörter über müden böden"
+    rows = [
+        (1, t_en, "en", "s0", len(t_en)),
+        (2, t_en, "en", "s0", len(t_en)),
+        (3, t_de, "de", "s1", len(t_de)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    out = {(r["lang"], r["source"]): r for r in token_fertility(docs).collect()}
+    en, de = out[("en", "s0")], out[("de", "s1")]
+    assert en["n_docs"] == 2 and de["n_docs"] == 1
+    assert en["n_ws_tokens"] == 2 * len(t_en.split())
+    assert de["n_ws_tokens"] == len(t_de.split())
+    assert en["n_chars"] == 2 * len(t_en)
+    assert en["n_bytes"] == 2 * len(t_en.encode())
+    assert de["n_chars"] == len(t_de)
+    assert de["n_bytes"] == len(t_de.encode()) > de["n_chars"]
+    assert en["chars_per_ws_token"] == en["n_chars"] / en["n_ws_tokens"]
+    assert de["bpe_per_ws_token"] == de["n_bpe_tokens"] / de["n_ws_tokens"]
+
+
+def test_ann_recall_audit_matches_recomputation(spark):
+    """The audit relation must equal the overlap recomputed from the two
+    search paths it composes (same params), with n_brute = k here."""
+    from d1_log_aggregation_spark.datapipe import ann
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    audit = {r["query_id"]: r for r in ann.recall_audit(embs).collect()}
+    brute = ann.brute_force_topk(embs).collect()
+    ivf = ann.ivf_topk(embs).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    vset = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    for q, r in audit.items():
+        n_b = sum(1 for x in bset if x[0] == q)
+        n_o = sum(1 for x in bset & vset if x[0] == q)
+        assert r["n_brute"] == n_b == 5
+        assert r["n_overlap"] == n_o
+        assert r["recall_at_k"] == n_o / n_b
+        assert 0.0 <= r["recall_at_k"] <= 1.0

@@ -193,3 +193,18 @@ def test_selection_ops_plan_shapes(spark, tmp_path):
     assert "documents.parquet" not in plan, (
         "scratch path re-scanned the corpus"
     )
+
+
+def test_semdedup_plan_within_cluster_join_only(spark):
+    """semdedup's pair production must be the centroid_id EQUI-join
+    (cluster-bounded quadratic — the SemDeDup contract), never a
+    cartesian/nested-loop over the corpus; the centroid assignment rides
+    in an Arrow closure, so no centroid-side join appears at all."""
+    from d1_log_aggregation_spark.datapipe import vectors
+
+    out = vectors.semdedup(
+        vectors.load_vector_corpus(spark, SF), n_centroids=8, n_iters=2
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -22,6 +22,7 @@ TARGETS = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "semdedup",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "corpus_deduped",
