@@ -539,6 +539,25 @@ def run_datapipe_scale(master: str, shuffle_partitions: int, factor: int = 16) -
         out[f"embedding_neardup_{factor}x_sec"]
         / out["embedding_neardup_1x_sec"], 2
     )
+    # semdedup's scale rule in action: n_centroids grows WITH the corpus
+    # (the SemDeDup contract — cluster sizes, hence the within-cluster
+    # quadratic self-join fan-out, stay constant; at fixed k the pair
+    # count would grow ×factor² instead)
+    sjobs = (
+        (vbase, "1x", dict(n_centroids=8)),
+        (vscaled, f"{factor}x", dict(n_centroids=8 * factor)),
+    )
+    for df, tag, kw in sjobs:
+        for _ in range(1 if tag != "1x" else 2):
+            _mat(vectors.semdedup(df, **kw))
+            spark.catalog.clearCache()
+        t = time.monotonic()
+        _mat(vectors.semdedup(df, **kw))
+        out[f"semdedup_{tag}_sec"] = round(time.monotonic() - t, 3)
+        spark.catalog.clearCache()
+    out["semdedup_growth"] = round(
+        out[f"semdedup_{factor}x_sec"] / out["semdedup_1x_sec"], 2
+    )
     spark.stop()
     return out
 
