@@ -453,6 +453,14 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.exact_duplicates(load_corpus(spark, sf_dir))
 
 
+def _q_dup_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup rate per provenance (source, lang) segment — the
+    per-segment attribution behind the global dedup number."""
+    return dp_dedup.dup_rate_by_segment(
+        _docs(spark, sf_dir), load_corpus(spark, sf_dir)
+    )
+
+
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.jaccard_pairs(load_corpus(spark, sf_dir), threshold=0.5)
 
@@ -964,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_funnel": _q_filter_funnel,
         "token_fertility": _q_token_fertility,
         "ann_recall_audit": _q_ann_recall_audit,
+        "dup_rate_by_segment": _q_dup_rate_by_segment,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1060,6 +1069,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_textstats": dp_oracle.doc_textstats_sql(),
             "lang_quality_counts": dp_oracle.lang_quality_counts_sql(),
             "dedup_exact": dp_oracle.dedup_exact_sql(),
+            "dup_rate_by_segment": dp_oracle.dup_rate_by_segment_sql(),
             "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
             "corpus_deduped": dp_oracle.corpus_deduped_sql(0.5),
             "training_corpus": dp_oracle.training_corpus_sql(0.5),

@@ -1167,3 +1167,56 @@ def dedup_against(
     return survivors.join(near, "doc_id", "left_anti").select(
         "doc_id", text_col
     )
+
+
+def dup_rate_by_segment(
+    documents: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(source, lang, n_docs, n_dup_docs, n_groups, dup_ratio): exact-
+    duplicate rate per provenance segment — the corpus-health breakdown
+    every ingest report carries (a source whose dup_ratio jumps is a
+    re-crawl, a mirror, or a broken incremental fetch; per-segment
+    attribution is what makes the global dedup number actionable).
+
+    ``corpus`` is the dup-planted relation whose ids encode lineage as
+    doc_id mod N (N = max original id + 1, the corpus.py planting
+    scheme); metadata comes from joining each corpus doc back to its
+    original.  Plan: one fingerprint groupBy (the exact_duplicates
+    shuffle), one join back on fingerprint, one hash join to the
+    documents table on the derived original id (both sides corpus-sized
+    — correctly NOT a broadcast), one segment-cardinality aggregate.
+    n_groups counts DISTINCT fingerprints in the segment (capacity after
+    exact dedup); all counts exact int64, dup_ratio one division."""
+    n0 = documents.agg(F.max("doc_id")).first()[0] + 1
+    fp = corpus.select(
+        "doc_id", F.md5(norm_text(F.col(text_col))).alias("fingerprint")
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    flagged = fp.join(groups, "fingerprint").select(
+        "doc_id",
+        "fingerprint",
+        (F.col("group_size") > 1).cast("long").alias("is_dup"),
+    )
+    meta = documents.select(
+        F.col("doc_id").alias("orig_id"), "source", "lang"
+    )
+    return (
+        flagged.withColumn("orig_id", F.col("doc_id") % F.lit(n0))
+        .join(meta, "orig_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dup_docs"),
+            F.countDistinct("fingerprint").alias("n_groups"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_dup_docs",
+            "n_groups",
+            (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_ratio"),
+        )
+    )

@@ -1145,3 +1145,33 @@ SELECT bc.query_id, bc.n_brute,
        coalesce(ov.n_ov, 0) * 1.0 / bc.n_brute AS recall_at_k
 FROM bc LEFT JOIN ov ON bc.query_id = ov.query_id
 """
+
+
+def dup_rate_by_segment_sql() -> str:
+    """Twin of dedup.dup_rate_by_segment over the planted corpus."""
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH corpus AS ({corpus_sql()}),
+n0 AS (SELECT max(doc_id) + 1 AS n FROM documents),
+fp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM corpus),
+g AS (
+  SELECT fingerprint, cast(count(*) AS bigint) AS group_size
+  FROM fp GROUP BY fingerprint
+),
+flagged AS (
+  SELECT fp.doc_id, fp.fingerprint,
+         CASE WHEN g.group_size > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM fp JOIN g ON fp.fingerprint = g.fingerprint
+),
+j AS (
+  SELECT d.source, d.lang, f.is_dup, f.fingerprint
+  FROM flagged f
+  JOIN documents d ON d.doc_id = f.doc_id % (SELECT n FROM n0)
+)
+SELECT source, lang,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(sum(is_dup) AS bigint) AS n_dup_docs,
+       cast(count(DISTINCT fingerprint) AS bigint) AS n_groups,
+       sum(is_dup) * 1.0 / count(*) AS dup_ratio
+FROM j GROUP BY source, lang
+"""

@@ -1096,3 +1096,35 @@ def test_ann_recall_audit_matches_recomputation(spark):
         assert r["n_overlap"] == n_o
         assert r["recall_at_k"] == n_o / n_b
         assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_dup_rate_by_segment_semantics(spark):
+    """Dup attribution lands on the ORIGINAL's (source, lang) segment
+    via the id mod-N lineage; near-dups (distinct text) do not count;
+    n_groups = distinct fingerprints in the segment."""
+    from d1_log_aggregation_spark.datapipe.dedup import dup_rate_by_segment
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aaa", "en", "s0", 3),
+            (1, "bbb", "en", "s0", 3),
+            (2, "ccc", "de", "s1", 3),
+            (3, "ddd", "de", "s1", 3),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "aaa"), (1, "bbb"), (2, "ccc"), (3, "ddd"),
+            (4, "aaa"),        # exact copy of doc 0 (orig = 4 % 4 = 0)
+            (6, "ccc tail"),   # near-dup of doc 2: distinct fingerprint
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["source"], r["lang"]): r
+           for r in dup_rate_by_segment(docs, corpus).collect()}
+    s0, s1 = out[("s0", "en")], out[("s1", "de")]
+    assert s0["n_docs"] == 3 and s0["n_dup_docs"] == 2
+    assert s0["n_groups"] == 2 and s0["dup_ratio"] == 2 / 3
+    assert s1["n_docs"] == 3 and s1["n_dup_docs"] == 0
+    assert s1["n_groups"] == 3 and s1["dup_ratio"] == 0.0

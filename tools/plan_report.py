@@ -26,6 +26,7 @@ TARGETS = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "corpus_deduped",
+    "dup_rate_by_segment",
     "pack_manifest",
     "corpus_sample",
     "shard_stats",
