@@ -61,6 +61,14 @@ def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_transcripts(spark, sf_dir)
 
 
+def _q_conv_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation key-integrity audit (dense turn_idx, visible dup
+    keys) — W5's order guarantee as a provable relation."""
+    from d1_log_aggregation_spark.operators.dedup import conv_integrity
+
+    return conv_integrity(load_transcripts(spark, sf_dir))
+
+
 def _q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_turns(load_transcripts(spark, sf_dir)).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
@@ -973,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_fertility": _q_token_fertility,
         "ann_recall_audit": _q_ann_recall_audit,
         "dup_rate_by_segment": _q_dup_rate_by_segment,
+        "conv_integrity": _q_conv_integrity,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1062,6 +1071,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _conv_integrity_sql() -> str:
+    from d1_log_aggregation_spark.operators.dedup import conv_integrity_sql
+    from d1_log_aggregation_spark.transcripts import transcripts_sql
+
+    return conv_integrity_sql(transcripts_sql())
+
+
 def oracle_sql() -> dict[str, str]:
     out = oracle.oracle_queries()
     out.update(
@@ -1070,6 +1086,7 @@ def oracle_sql() -> dict[str, str]:
             "lang_quality_counts": dp_oracle.lang_quality_counts_sql(),
             "dedup_exact": dp_oracle.dedup_exact_sql(),
             "dup_rate_by_segment": dp_oracle.dup_rate_by_segment_sql(),
+            "conv_integrity": _conv_integrity_sql(),
             "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
             "corpus_deduped": dp_oracle.corpus_deduped_sql(0.5),
             "training_corpus": dp_oracle.training_corpus_sql(0.5),

@@ -49,3 +49,56 @@ SELECT {cols} FROM (
   FROM ({inner}) t
 ) WHERE _rk = 1
 """
+
+
+def conv_integrity(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_rows, n_keys, min_turn_idx, max_turn_idx, n_dup_keys,
+    has_gaps): per-conversation integrity audit of the natural key this
+    module dedups on — the POSITIVE artifact for the reference's
+    chronological-order guarantee (SURVEY W5, 'order check by
+    construction': the reference trusts entryId ordering; an engine that
+    merely trusts should still be able to PROVE, per conversation, that
+    turn_idx is dense and duplicate keys are visible before dedup).
+    n_dup_keys > 0 rows are exactly the conversations the rank-1 window
+    (dedup_turns) will collapse; has_gaps uses max−min+1 vs distinct
+    count so it is index-base agnostic.
+
+    One hash-partition shuffle on conv_id (same key profile as the
+    dedup window — high-cardinality, uniform); all counts exact int64."""
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("turn_idx").alias("n_keys"),
+            F.min("turn_idx").cast("long").alias("min_turn_idx"),
+            F.max("turn_idx").cast("long").alias("max_turn_idx"),
+        )
+        .select(
+            "conv_id",
+            "n_rows",
+            "n_keys",
+            "min_turn_idx",
+            "max_turn_idx",
+            (F.col("n_rows") - F.col("n_keys")).alias("n_dup_keys"),
+            (
+                F.col("max_turn_idx") - F.col("min_turn_idx") + 1
+                != F.col("n_keys")
+            ).alias("has_gaps"),
+        )
+    )
+
+
+def conv_integrity_sql(inner: str) -> str:
+    """DuckDB twin over an inline transcripts relation ``inner``."""
+    return f"""
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n_rows,
+       cast(count(DISTINCT turn_idx) AS bigint) AS n_keys,
+       cast(min(turn_idx) AS bigint) AS min_turn_idx,
+       cast(max(turn_idx) AS bigint) AS max_turn_idx,
+       cast(count(*) - count(DISTINCT turn_idx) AS bigint) AS n_dup_keys,
+       (max(turn_idx) - min(turn_idx) + 1) <> count(DISTINCT turn_idx)
+         AS has_gaps
+FROM ({inner}) t
+GROUP BY conv_id
+"""

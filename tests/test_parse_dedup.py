@@ -137,3 +137,23 @@ def test_sessionize_matches_python_reference(spark):
             want[eid] = (idx, 1 if new else 0)
             prev = ts
     assert got == want
+
+
+def test_conv_integrity_semantics(spark):
+    """Dense conv → clean row; duplicate key and a missing index are
+    both surfaced (n_dup_keys counts collapsible rows, has_gaps uses the
+    base-agnostic span test)."""
+    from d1_log_aggregation_spark.operators.dedup import conv_integrity
+
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 1), ("a", 2),
+         ("b", 0), ("b", 0), ("b", 2),
+         ("c", 5), ("c", 6)],  # 5-based but dense: no gap
+        "conv_id string, turn_idx int",
+    )
+    out = {r["conv_id"]: r for r in conv_integrity(df).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert a["n_dup_keys"] == 0 and not a["has_gaps"]
+    assert b["n_rows"] == 3 and b["n_keys"] == 2
+    assert b["n_dup_keys"] == 1 and b["has_gaps"]
+    assert c["n_dup_keys"] == 0 and not c["has_gaps"]

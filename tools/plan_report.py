@@ -27,6 +27,7 @@ TARGETS = [
     "ann_ivf_topk",
     "corpus_deduped",
     "dup_rate_by_segment",
+    "conv_integrity",
     "pack_manifest",
     "corpus_sample",
     "shard_stats",
