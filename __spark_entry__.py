@@ -69,6 +69,15 @@ def _q_conv_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_integrity(load_transcripts(spark, sf_dir))
 
 
+def _q_conv_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation content checksum over deduped ordered turns —
+    the north rule's per-turn text-equality contract as one comparable
+    row per conversation."""
+    from d1_log_aggregation_spark.operators.dedup import conv_checksums
+
+    return conv_checksums(load_transcripts(spark, sf_dir))
+
+
 def _q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_turns(load_transcripts(spark, sf_dir)).select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts"
@@ -982,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": _q_ann_recall_audit,
         "dup_rate_by_segment": _q_dup_rate_by_segment,
         "conv_integrity": _q_conv_integrity,
+        "conv_checksums": _q_conv_checksums,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1078,6 +1088,13 @@ def _conv_integrity_sql() -> str:
     return conv_integrity_sql(transcripts_sql())
 
 
+def _conv_checksums_sql() -> str:
+    from d1_log_aggregation_spark.operators.dedup import conv_checksums_sql
+    from d1_log_aggregation_spark.transcripts import transcripts_sql
+
+    return conv_checksums_sql(transcripts_sql())
+
+
 def oracle_sql() -> dict[str, str]:
     out = oracle.oracle_queries()
     out.update(
@@ -1087,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
             "dedup_exact": dp_oracle.dedup_exact_sql(),
             "dup_rate_by_segment": dp_oracle.dup_rate_by_segment_sql(),
             "conv_integrity": _conv_integrity_sql(),
+            "conv_checksums": _conv_checksums_sql(),
             "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
             "corpus_deduped": dp_oracle.corpus_deduped_sql(0.5),
             "training_corpus": dp_oracle.training_corpus_sql(0.5),

@@ -102,3 +102,48 @@ SELECT conv_id,
 FROM ({inner}) t
 GROUP BY conv_id
 """
+
+
+def conv_checksums(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, conv_hash): content checksum of each
+    conversation's DEDUPED turns in stable turn_idx order — the
+    north-rule "per-turn text equality under stable ordering" contract
+    compressed to one comparable row per conversation.  Re-harvesting,
+    replaying a page, or re-running the pipeline must reproduce every
+    conv_hash bit-for-bit (the Solr-unique-key idempotency the reference
+    gets from nodeId+entryId, LogHarvesterTask.java:431-435, as a
+    verifiable artifact); diffing two runs' checksum relations localizes
+    any divergence to the conversation.
+
+    Plan: ONE fact-side exchange total — the input is pre-partitioned on
+    conv_id, which satisfies ClusteredDistribution for BOTH the
+    (conv_id, turn_idx) dedup window and the conv_id aggregate, so
+    neither adds its own shuffle (left to themselves they would shuffle
+    twice: once per key set — measured before this repartition was
+    added).  The per-conv sort is array_sort over the collected
+    (turn_idx, text) structs: turn counts are conversation-bounded,
+    never a global orderBy.  md5 over \\x01-joined UTF-8 text matches
+    DuckDB's md5(string_agg(text, chr(1) ORDER BY turn_idx))."""
+    d = dedup_turns(transcripts.repartition("conv_id"))
+    ordered_texts = F.transform(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+        lambda s: s["text"],
+    )
+    return d.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.md5(F.concat_ws("\x01", ordered_texts).cast("binary")).alias(
+            "conv_hash"
+        ),
+    )
+
+
+def conv_checksums_sql(inner: str) -> str:
+    """DuckDB twin over an inline transcripts relation ``inner``."""
+    deduped = dedup_sql(inner)
+    return f"""
+SELECT conv_id,
+       cast(count(*) AS bigint) AS n_turns,
+       md5(string_agg(text, chr(1) ORDER BY turn_idx)) AS conv_hash
+FROM ({deduped}) dd
+GROUP BY conv_id
+"""

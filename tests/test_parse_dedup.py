@@ -157,3 +157,51 @@ def test_conv_integrity_semantics(spark):
     assert b["n_rows"] == 3 and b["n_keys"] == 2
     assert b["n_dup_keys"] == 1 and b["has_gaps"]
     assert c["n_dup_keys"] == 0 and not c["has_gaps"]
+
+
+def test_conv_checksums_idempotent_and_ordered(spark):
+    """The checksum is over rank-1 survivors in turn_idx order: replayed
+    duplicate rows change nothing; the hash equals the hand-computed md5
+    of the \\x01-joined expected texts."""
+    import hashlib
+
+    from d1_log_aggregation_spark.operators.dedup import conv_checksums
+
+    base = [
+        ("a", 1, "u", "world", None, None),
+        ("a", 0, "u", "hello", None, None),
+    ]
+    dup_replay = base + [
+        ("a", 0, "u", "hello", None, None),   # exact re-harvest
+        ("a", 1, "u", "zzz later text", None, None),  # retried turn:
+        # rank-1 tiebreak (text asc) keeps 'world'
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    clean = conv_checksums(spark.createDataFrame(base, schema)).collect()
+    replay = conv_checksums(
+        spark.createDataFrame(dup_replay, schema)
+    ).collect()
+    expect = hashlib.md5("hello\x01world".encode()).hexdigest()
+    assert clean[0]["conv_hash"] == expect
+    assert replay[0]["conv_hash"] == expect
+    assert clean[0]["n_turns"] == replay[0]["n_turns"] == 2
+
+
+def test_conv_checksums_plan_single_exchange(spark):
+    """The conv_id pre-partition must serve BOTH the dedup window and
+    the aggregate: exactly one fact-side hash exchange."""
+    import re
+
+    from d1_log_aggregation_spark.operators.dedup import conv_checksums
+    from d1_log_aggregation_spark.transcripts import load_transcripts
+
+    df = conv_checksums(
+        load_transcripts(spark, "/root/testdata/sf0.001")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fact = [
+        e for e in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        if "conv_id" in e
+    ]
+    assert len(fact) == 1, fact

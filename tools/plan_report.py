@@ -28,6 +28,7 @@ TARGETS = [
     "corpus_deduped",
     "dup_rate_by_segment",
     "conv_integrity",
+    "conv_checksums",
     "pack_manifest",
     "corpus_sample",
     "shard_stats",
