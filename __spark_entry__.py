@@ -1027,20 +1027,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_role_rollup": _q_sink_role_rollup,
         "role_event_pivot": _q_role_event_pivot,
         # --- representative pipeline core (r4-green, re-verified) ---------
+        # --- core slots inside the 50-window: the highest-signal rows
+        # (routed_rows subsumes the transcripts→dedup→parse→classify→
+        # enrich lineage; sink_counts is the north-rule headline;
+        # repeat_visits is the custom stateful W1 op; one streaming row
+        # keeps §2.8 driver-checked this round) ------------------------
+        "routed_rows": _q_routed_rows,
+        "sink_counts": _q_sink_counts,
+        "repeat_visits": _q_repeat_visits,
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
         "transcripts": _q_transcripts,
         "dedup_turns": _q_dedup,
         "parse_events": _q_parse,
         "robot_flags": _q_robot_flags,
-        "repeat_visits": _q_repeat_visits,
         "enrich_registry": _q_enrich_registry,
         "enrich_sysmeta": _q_enrich_sysmeta,
-        "routed_rows": _q_routed_rows,
         "reenriched_rows": _q_reenriched_rows,
-        "streaming_windowed_counts": _q_streaming_windowed_counts,
         "streaming_node_read_counts": _q_streaming_node_reads,
         "streaming_session_counts": _q_streaming_session_counts,
         "geohash_rows": _q_geohash_rows,
-        "sink_counts": _q_sink_counts,
         "tool_sink_counts": _q_tool_sink_counts,
         "harvest_metrics": _q_harvest_metrics,
         "checkpoint_rows": _q_checkpoint_rows,
