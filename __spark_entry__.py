@@ -470,6 +470,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_dedup.exact_duplicates(load_corpus(spark, sf_dir))
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-containment near-dup pairs (boilerplate-wrapped copy
+    detector: cont(A in B) stays ~1 where jaccard → 0 as B grows)."""
+    return dp_dedup.containment_pairs(load_corpus(spark, sf_dir))
+
+
 def _q_dup_rate_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup rate per provenance (source, lang) segment — the
     per-segment attribution behind the global dedup number."""
@@ -992,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_segment": _q_dup_rate_by_segment,
         "conv_integrity": _q_conv_integrity,
         "conv_checksums": _q_conv_checksums,
+        "containment_pairs": _q_containment_pairs,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1111,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
             "conv_integrity": _conv_integrity_sql(),
             "conv_checksums": _conv_checksums_sql(),
             "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
+            "containment_pairs": dp_oracle.containment_pairs_sql(0.8),
             "corpus_deduped": dp_oracle.corpus_deduped_sql(0.5),
             "training_corpus": dp_oracle.training_corpus_sql(0.5),
             "minhash_signatures": dp_oracle.minhash_signatures_sql(),

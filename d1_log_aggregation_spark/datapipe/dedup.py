@@ -1220,3 +1220,59 @@ def dup_rate_by_segment(
             (F.col("n_dup_docs") / F.col("n_docs")).alias("dup_ratio"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, n_a, n_b, cont_a_in_b, cont_b_in_a) for
+    pairs where max containment ≥ threshold.  Containment (Broder's
+    asymmetric resemblance, |A∩B| / |A|) is the boilerplate-wrapping
+    detector symmetric Jaccard structurally misses: a short document
+    embedded verbatim inside a much longer one scores jaccard ≈
+    |A|/|B| → 0 as B grows, but cont_a_in_b stays ≈ 1.  Training-data
+    pipelines dedup on BOTH signals — Jaccard for near-copies,
+    containment for wrapped/quoted/template-inflated copies.
+
+    Same candidate machinery and scale posture as jaccard_pairs (shared
+    optional materialized ``index``, df-capped postings so the
+    shingle self-join never goes quadratic on stop-shingles); the only
+    change is the emitted ratios and the max-containment filter.  The
+    planted near-dup corpus (original + appended tail) is exactly the
+    wrapped-copy shape: cont(original in copy) ≈ 1 at jaccard < 1."""
+    sh, sizes = index or _shingle_index(docs, text_col, persist=True)
+    df_cap = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sh_df"))
+        .filter(F.col("sh_df") <= max_shingle_df)
+        .select("sh")
+    )
+    sh_kept = sh.join(df_cap, "sh")
+    a = sh_kept.alias("a")
+    b = sh_kept.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        _with_jaccard(common, sizes)
+        .withColumn("cont_a_in_b", F.col("n_common") / F.col("n_a"))
+        .withColumn("cont_b_in_a", F.col("n_common") / F.col("n_b"))
+        .filter(
+            F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+            >= threshold
+        )
+    )
+    return out.select(
+        "doc_a", "doc_b", "n_common", "n_a", "n_b",
+        "cont_a_in_b", "cont_b_in_a",
+    )

@@ -1175,3 +1175,18 @@ SELECT source, lang,
        sum(is_dup) * 1.0 / count(*) AS dup_ratio
 FROM j GROUP BY source, lang
 """
+
+
+def containment_pairs_sql(
+    threshold: float = 0.8, max_df: int = D.MAX_SHINGLE_DF
+) -> str:
+    """Twin of dedup.containment_pairs: the shared jaccard CTE already
+    carries n_common/n_a/n_b; only the ratios and filter differ."""
+    return f"""
+WITH {_sh_cte()}, {_jaccard_cte(max_df)}
+SELECT doc_a, doc_b, n_common, n_a, n_b,
+       n_common * 1.0 / n_a AS cont_a_in_b,
+       n_common * 1.0 / n_b AS cont_b_in_a
+FROM jac
+WHERE greatest(n_common * 1.0 / n_a, n_common * 1.0 / n_b) >= {threshold}
+"""

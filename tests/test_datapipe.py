@@ -1128,3 +1128,29 @@ def test_dup_rate_by_segment_semantics(spark):
     assert s0["n_groups"] == 2 and s0["dup_ratio"] == 2 / 3
     assert s1["n_docs"] == 3 and s1["n_dup_docs"] == 0
     assert s1["n_groups"] == 3 and s1["dup_ratio"] == 0.0
+
+
+def test_containment_catches_wrapped_copy_jaccard_misses(spark):
+    """A short doc embedded verbatim at the head of a much longer one:
+    containment of the short side is exactly 1.0 while jaccard falls
+    below the 0.5 near-dup bar — the boilerplate-wrapping case the
+    symmetric detector structurally misses."""
+    from d1_log_aggregation_spark.datapipe.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"pad{i} word{i} extra{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, threshold=0.8).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0
+    jac = r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
+    assert jac < 0.5
+    assert jaccard_pairs(docs, threshold=0.5).count() == 0
