@@ -604,6 +604,13 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_mm.multimodal_audio_features(_docs(spark, sf_dir))
 
 
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third container modality: frame-sequence payloads through a
+    ROW-EXPANDING vectorized frame-sampler (one output row per strided
+    frame — the decode-once / fan-out-to-image-tower shape)."""
+    return dp_mm.multimodal_video_frames(_docs(spark, sf_dir))
+
+
 STRATIFIED_RATES_PPM = {"en": 800_000, "de": 500_000, "zh": 250_000}
 
 
@@ -999,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_integrity": _q_conv_integrity,
         "conv_checksums": _q_conv_checksums,
         "containment_pairs": _q_containment_pairs,
+        "multimodal_video_frames": _q_multimodal_video,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1137,6 +1145,8 @@ def oracle_sql() -> dict[str, str]:
             "multimodal_features": dp_oracle.multimodal_features_sql(),
             "multimodal_audio_features":
                 dp_oracle.multimodal_audio_features_sql(),
+            "multimodal_video_frames":
+                dp_oracle.multimodal_video_frames_sql(),
             "similar_docs_topk": dp_search_sql(
                 src="corpus", query_mod=10
             ),

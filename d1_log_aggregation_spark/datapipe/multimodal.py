@@ -351,3 +351,146 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
 def multimodal_audio_features(docs: DataFrame) -> DataFrame:
     return extract_audio_features(with_audio_payload(docs), fake=True)
+
+
+# ---- video modality: frame-sampled decode ----------------------------------
+
+VIDEO_MAGIC = 0xD3
+VIDEO_HEADER_BYTES = 4
+FRAME_BYTES = 16
+VIDEO_FPS = [12, 24, 30]
+VIDEO_STRIDE = 2
+
+VIDEO_SCHEMA = (
+    "doc_id long, n_frames int, fps int, duration_us long, "
+    "frame_idx int, frame_mean double, frame_min int, frame_max int, "
+    "f0 double"
+)
+
+
+def with_video_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Third container modality: a frame-sequence payload.
+
+    Layout (every byte SQL-reconstructible, the image/audio contract):
+      byte 0: magic 0xD3        byte 1: n_frames (1-6, doc_id % 6 + 1)
+      byte 2: fps_code (0-2 → 12/24/30 fps)   byte 3: frame_bytes (16)
+      bytes 4..: n_frames frames of 16 bytes each,
+                 frame f = unhex(md5(norm_text || '_f' || f))."""
+    n_frames = (F.col("doc_id") % 6 + 1).cast("int")
+    fps_code = (F.col("doc_id") % 3).cast("int")
+    norm = norm_text(F.col(text_col))
+    header_hex = F.concat(
+        F.lit(f"{VIDEO_MAGIC:02x}"),
+        F.lpad(F.hex(n_frames), 2, "0"),
+        F.lpad(F.hex(fps_code), 2, "0"),
+        F.lit(f"{FRAME_BYTES:02x}"),
+    )
+    frames_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda f: F.md5(
+                F.concat(norm, F.lit("_f"), f.cast("string"))
+            ),
+        ),
+        "",
+    )
+    return docs.select(
+        "doc_id",
+        F.unhex(F.lower(F.concat(header_hex, frames_hex))).alias("payload"),
+    )
+
+
+def extract_video_frames(
+    media: DataFrame, stride: int = VIDEO_STRIDE, fake: bool = True
+) -> DataFrame:
+    """video payload → one output row PER SAMPLED FRAME (frames 0,
+    stride, 2·stride, … — the training-pipeline frame-sample stage),
+    with per-frame intensity stats + a first-byte feature.
+
+    This is the ROW-EXPANDING member of the multimodal family:
+    mapInPandas emits more rows than it reads (Σ ceil(n_frames/stride)
+    per batch), which is exactly the shape a real video pipeline needs —
+    decode once, fan sampled frames out to the image tower.  The decode
+    stays fully vectorized at any frame-count mix: one frombuffer over
+    the batch concatenation, then a (n_out × frame_bytes) gather built
+    from repeat/cumsum offset arithmetic — zero per-row Python.
+
+    fake=False is the real-codec path (mp4/h264 via pyav/ffmpeg):
+    stubbed — not available in this container.  The plumbing (binary
+    column, header validation, row-expanding batch output, strided
+    gather) is identical for both paths and is what the oracle checks."""
+    if not fake:
+        raise NotImplementedError(
+            "real video decode requires pyav/ffmpeg — not available in "
+            "this environment; pass fake=True for the container-format "
+            "decoder over the synthetic payloads"
+        )
+    assert stride >= 1
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            lens = np.fromiter(
+                (len(b) for b in pdf["payload"]), dtype=np.int64, count=n
+            )
+            if np.any(lens < VIDEO_HEADER_BYTES):
+                raise ValueError(
+                    f"payload shorter than the {VIDEO_HEADER_BYTES}-byte"
+                    " header"
+                )
+            flat = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+
+            magic = flat[starts[:-1]]
+            if not np.all(magic == VIDEO_MAGIC):
+                raise ValueError("bad video payload magic byte")
+            n_frames = flat[starts[:-1] + 1].astype(np.int64)
+            fps_code = flat[starts[:-1] + 2].astype(np.int64)
+            fb = flat[starts[:-1] + 3].astype(np.int64)
+            if np.any(n_frames < 1):
+                raise ValueError("payload header declares 0 frames")
+            if np.any(fb != FRAME_BYTES):
+                raise ValueError("unexpected frame_bytes in header")
+            if np.any(lens != VIDEO_HEADER_BYTES + n_frames * FRAME_BYTES):
+                # a short frame section would silently gather the next
+                # row's bytes out of the flat concatenation — refuse
+                raise ValueError("payload length != header + frames")
+            fps = np.array(VIDEO_FPS, dtype=np.int64)[fps_code % 3]
+
+            # sampled-frame grid: n_samp_i = ceil(n_frames_i / stride)
+            n_samp = (n_frames + stride - 1) // stride
+            n_out = int(n_samp.sum())
+            vrow = np.repeat(np.arange(n), n_samp)
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_samp, out=off[1:])
+            fidx = (np.arange(n_out, dtype=np.int64) - off[vrow]) * stride
+
+            base = (
+                starts[:-1][vrow] + VIDEO_HEADER_BYTES + fidx * FRAME_BYTES
+            )
+            fbytes = flat[
+                base[:, None] + np.arange(FRAME_BYTES, dtype=np.int64)
+            ].astype(np.int64)
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values[vrow],
+                    "n_frames": n_frames[vrow].astype(np.int32),
+                    "fps": fps[vrow].astype(np.int32),
+                    "duration_us": (n_frames * 1_000_000 // fps)[vrow],
+                    "frame_idx": fidx.astype(np.int32),
+                    "frame_mean": fbytes.sum(axis=1) / FRAME_BYTES,
+                    "frame_min": fbytes.min(axis=1).astype(np.int32),
+                    "frame_max": fbytes.max(axis=1).astype(np.int32),
+                    "f0": fbytes[:, 0] / 255.0,
+                }
+            )
+
+    return media.mapInPandas(extract, schema=VIDEO_SCHEMA)
+
+
+def multimodal_video_frames(docs: DataFrame) -> DataFrame:
+    return extract_video_frames(with_video_payload(docs), fake=True)

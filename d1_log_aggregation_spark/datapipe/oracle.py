@@ -1190,3 +1190,58 @@ SELECT doc_a, doc_b, n_common, n_a, n_b,
 FROM jac
 WHERE greatest(n_common * 1.0 / n_a, n_common * 1.0 / n_b) >= {threshold}
 """
+
+
+def multimodal_video_frames_sql(
+    src: str = "documents", stride: int | None = None
+) -> str:
+    """Twin of multimodal.multimodal_video_frames: reconstructs every
+    sampled frame's bytes from the same md5 hex (the image/audio twin
+    contract) and reproduces the strided per-frame stats exactly."""
+    from . import multimodal as M
+
+    stride = stride or M.VIDEO_STRIDE
+    fps_list = ", ".join(str(r) for r in M.VIDEO_FPS)
+    fb = M.FRAME_BYTES
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         cast(doc_id % 6 + 1 AS int) AS n_frames,
+         [{fps_list}][cast(doc_id % 3 AS int) + 1] AS fps,
+         {norm} AS norm
+  FROM {src}
+),
+fr AS (
+  SELECT doc_id, n_frames, fps,
+         unnest(range(0, n_frames, {stride})) AS frame_idx, norm
+  FROM base
+),
+fh AS (
+  SELECT doc_id, n_frames, fps, cast(frame_idx AS int) AS frame_idx,
+         md5(norm || '_f' || cast(frame_idx AS varchar)) AS h
+  FROM fr
+),
+fbytes AS (
+  SELECT f.doc_id, f.n_frames, f.fps, f.frame_idx, b.bi,
+         try_cast(('0x' || substr(f.h, cast(b.bi AS int) * 2 + 1, 2))
+                  AS bigint) AS v
+  FROM fh f CROSS JOIN (SELECT unnest(range({fb})) AS bi) b
+),
+agg AS (
+  SELECT doc_id, n_frames, fps, frame_idx,
+         sum(v) AS sv, min(v) AS mn, max(v) AS mx,
+         max(CASE WHEN bi = 0 THEN v END) AS b0
+  FROM fbytes GROUP BY doc_id, n_frames, fps, frame_idx
+)
+SELECT doc_id,
+       n_frames,
+       cast(fps AS int) AS fps,
+       cast(n_frames AS bigint) * 1000000 // fps AS duration_us,
+       frame_idx,
+       sv * 1.0 / {fb} AS frame_mean,
+       cast(mn AS int) AS frame_min,
+       cast(mx AS int) AS frame_max,
+       b0 / 255.0 AS f0
+FROM agg
+"""

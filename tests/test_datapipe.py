@@ -1154,3 +1154,46 @@ def test_containment_catches_wrapped_copy_jaccard_misses(spark):
     jac = r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"])
     assert jac < 0.5
     assert jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_video_frame_sampler_semantics(spark):
+    """Row expansion = Σ ceil(n_frames/stride) with frame_idx 0, stride,
+    …; a sampled frame's stats equal the hand-computed md5-block bytes;
+    truncated frame sections are refused, never mis-gathered."""
+    import hashlib
+
+    import pytest
+
+    from d1_log_aggregation_spark.datapipe import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, f"video doc {i}", "en", "s", 11) for i in range(12)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    out = mm.multimodal_video_frames(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in range(12):
+        n_frames = i % 6 + 1
+        expect_idx = list(range(0, n_frames, mm.VIDEO_STRIDE))
+        got = sorted(r["frame_idx"] for r in by_doc[i])
+        assert got == expect_idx, (i, got)
+        assert all(r["fps"] == mm.VIDEO_FPS[i % 3] for r in by_doc[i])
+    # hand-check frame 0 of doc 0 against the md5 contract
+    h = hashlib.md5(b"video doc 0_f0").hexdigest()
+    b = bytes.fromhex(h)
+    r0 = next(r for r in by_doc[0] if r["frame_idx"] == 0)
+    assert r0["frame_mean"] == sum(b) / mm.FRAME_BYTES
+    assert r0["frame_min"] == min(b) and r0["frame_max"] == max(b)
+    assert r0["f0"] == b[0] / 255.0
+
+    # truncated frame section → hard refusal (no silent cross-row gather)
+    good = mm.with_video_payload(docs).collect()
+    bad = spark.createDataFrame(
+        [(r["doc_id"], bytes(r["payload"])[:-3]) for r in good],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="length"):
+        mm.extract_video_frames(bad).collect()
