@@ -604,6 +604,12 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_mm.multimodal_audio_features(_docs(spark, sf_dir))
 
 
+def _q_multimodal_resized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIZE stage of the multimodal quartet: fixed-width nearest-
+    neighbor resample of every pixel section (one fancy-index gather)."""
+    return dp_mm.multimodal_resized(_docs(spark, sf_dir))
+
+
 def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third container modality: frame-sequence payloads through a
     ROW-EXPANDING vectorized frame-sampler (one output row per strided
@@ -1007,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_checksums": _q_conv_checksums,
         "containment_pairs": _q_containment_pairs,
         "multimodal_video_frames": _q_multimodal_video,
+        "multimodal_resized": _q_multimodal_resized,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1147,6 +1154,7 @@ def oracle_sql() -> dict[str, str]:
                 dp_oracle.multimodal_audio_features_sql(),
             "multimodal_video_frames":
                 dp_oracle.multimodal_video_frames_sql(),
+            "multimodal_resized": dp_oracle.multimodal_resized_sql(),
             "similar_docs_topk": dp_search_sql(
                 src="corpus", query_mod=10
             ),

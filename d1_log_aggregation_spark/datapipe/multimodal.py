@@ -494,3 +494,74 @@ def extract_video_frames(
 
 def multimodal_video_frames(docs: DataFrame) -> DataFrame:
     return extract_video_frames(with_video_payload(docs), fake=True)
+
+
+# ---- image resize (nearest-neighbor resample) -------------------------------
+
+RESIZE_TARGET = 8
+
+
+def resize_images(
+    media: DataFrame, target: int = RESIZE_TARGET, fake: bool = True
+) -> DataFrame:
+    """image payload → fixed-size nearest-neighbor resample of the pixel
+    section (``target`` bytes, index i gathers pixel ⌊i·n_pix/target⌋) —
+    the RESIZE stage of the multimodal quartet (decode / feature-extract
+    / resize / frame-sample).  Normalizing every image to one fixed
+    width is what lets the downstream tower batch tensors; nearest-
+    neighbor on the byte sequence is the honest equivalent for this
+    container (real bilinear-over-H×W belongs to the stubbed codec
+    path).
+
+    Vectorized as one (batch × target) fancy-index gather from the flat
+    batch concatenation — integer index arithmetic only, zero per-row
+    Python, exact in both engines.
+
+    fake=False (real decode + PIL resize) is stubbed like the other
+    modalities; the plumbing is identical and oracle-checked."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires PIL — not available in this "
+            "environment; pass fake=True for the container-format path"
+        )
+    assert target >= 1
+    schema = "doc_id long, n_pix_bytes long, " + ", ".join(
+        f"res_{i} int" for i in range(target)
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            lens = np.fromiter(
+                (len(b) for b in pdf["payload"]), dtype=np.int64, count=n
+            )
+            if np.any(lens < HEADER_BYTES + 1):
+                raise ValueError("payload has no pixel section to resize")
+            flat = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            if not np.all(flat[starts[:-1]] == MAGIC):
+                raise ValueError("bad payload magic byte")
+            n_pix = lens - HEADER_BYTES
+            idx = (
+                starts[:-1, None]
+                + HEADER_BYTES
+                + (np.arange(target, dtype=np.int64)[None, :]
+                   * n_pix[:, None]) // target
+            )
+            vals = flat[idx].astype(np.int32)
+            out = {
+                "doc_id": pdf["doc_id"].values,
+                "n_pix_bytes": n_pix,
+            }
+            for i in range(target):
+                out[f"res_{i}"] = vals[:, i]
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, schema=schema)
+
+
+def multimodal_resized(docs: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    return resize_images(with_payload(docs), target=target, fake=True)

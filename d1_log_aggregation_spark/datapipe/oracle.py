@@ -1245,3 +1245,30 @@ SELECT doc_id,
        b0 / 255.0 AS f0
 FROM agg
 """
+
+
+def multimodal_resized_sql(
+    src: str = "documents", target: int | None = None
+) -> str:
+    """Twin of multimodal.multimodal_resized: nearest-neighbor byte
+    gather reconstructed from the same repeated-md5 pixel hex."""
+    from . import multimodal as M
+
+    target = target or M.RESIZE_TARGET
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    cols = ",\n       ".join(
+        f"try_cast(('0x' || substr(ph, cast(({i} * n_pix) // {target}"
+        f" AS int) * 2 + 1, 2)) AS int) AS res_{i}"
+        for i in range(target)
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         repeat(md5({norm}), cast(1 + doc_id % 3 AS int)) AS ph,
+         cast(16 * (1 + doc_id % 3) AS bigint) AS n_pix
+  FROM {src}
+)
+SELECT doc_id, n_pix AS n_pix_bytes,
+       {cols}
+FROM b
+"""

@@ -1197,3 +1197,22 @@ def test_video_frame_sampler_semantics(spark):
     )
     with pytest.raises(Exception, match="length"):
         mm.extract_video_frames(bad).collect()
+
+
+def test_resize_nearest_neighbor_semantics(spark):
+    """res_i = pixel byte ⌊i·n_pix/target⌋ against a hand-built payload:
+    correct gather at mixed widths, identity-ish when n_pix == target."""
+    from d1_log_aggregation_spark.datapipe import multimodal as mm
+
+    pix_a = bytes(range(16))           # n_pix 16: res_i = bytes[2i]
+    pix_b = bytes(range(100, 132))     # n_pix 32: res_i = bytes[4i]
+    header = bytes([mm.MAGIC, 3, 7, 7])
+    media = spark.createDataFrame(
+        [(1, header + pix_a), (2, header + pix_b)],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in mm.resize_images(media).collect()}
+    for i in range(mm.RESIZE_TARGET):
+        assert out[1][f"res_{i}"] == pix_a[(i * 16) // 8]
+        assert out[2][f"res_{i}"] == pix_b[(i * 32) // 8]
+    assert out[1]["n_pix_bytes"] == 16 and out[2]["n_pix_bytes"] == 32
