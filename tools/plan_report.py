@@ -29,6 +29,9 @@ TARGETS = [
     "dup_rate_by_segment",
     "conv_integrity",
     "conv_checksums",
+    "containment_pairs",
+    "multimodal_video_frames",
+    "multimodal_resized",
     "pack_manifest",
     "corpus_sample",
     "shard_stats",
