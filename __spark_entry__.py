@@ -69,6 +69,14 @@ def _q_conv_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_integrity(load_transcripts(spark, sf_dir))
 
 
+def _q_tool_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool co-occurrence PMI over conversations — association mining on
+    the transcript log (bounded by per-conv distinct-tool counts)."""
+    from d1_log_aggregation_spark.operators.analytics import tool_pmi
+
+    return tool_pmi(load_transcripts(spark, sf_dir))
+
+
 def _q_conv_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation content checksum over deduped ordered turns —
     the north rule's per-turn text-equality contract as one comparable
@@ -1014,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "multimodal_video_frames": _q_multimodal_video,
         "multimodal_resized": _q_multimodal_resized,
+        "tool_pmi": _q_tool_pmi,
         "repetition_stats": _q_repetition_stats,
         "split_leakage": _q_split_leakage,
         "enrich_geo_range": _q_enrich_geo_range,
@@ -1115,6 +1124,13 @@ def _conv_integrity_sql() -> str:
     return conv_integrity_sql(transcripts_sql())
 
 
+def _tool_pmi_sql() -> str:
+    from d1_log_aggregation_spark.operators.analytics import tool_pmi_sql
+    from d1_log_aggregation_spark.transcripts import transcripts_sql
+
+    return tool_pmi_sql(transcripts_sql())
+
+
 def _conv_checksums_sql() -> str:
     from d1_log_aggregation_spark.operators.dedup import conv_checksums_sql
     from d1_log_aggregation_spark.transcripts import transcripts_sql
@@ -1132,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
             "dup_rate_by_segment": dp_oracle.dup_rate_by_segment_sql(),
             "conv_integrity": _conv_integrity_sql(),
             "conv_checksums": _conv_checksums_sql(),
+            "tool_pmi": _tool_pmi_sql(),
             "dedup_jaccard_pairs": dp_oracle.jaccard_pairs_sql(0.5),
             "containment_pairs": dp_oracle.containment_pairs_sql(0.8),
             "corpus_deduped": dp_oracle.corpus_deduped_sql(0.5),

@@ -885,3 +885,98 @@ SELECT p.pid, p.exact_n, cast(min(m.n) AS bigint) AS cms_estimate, p.rank
 FROM probes p JOIN cms m ON p.d = m.d AND p.w = m.w
 GROUP BY p.pid, p.exact_n, p.rank
 """
+
+
+def tool_pmi(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n_a, n_b, n_pair, n_convs, pmi): pointwise
+    mutual information of tools CO-OCCURRING in the same conversation —
+    the association-mining view of transcript logs (which tools travel
+    together beyond what their individual frequencies predict; the
+    signal behind tool-bundle suggestions and anomalous-combination
+    alerts).  pmi = ln(P(a,b) / (P(a)·P(b))) over the conversation
+    universe, all probabilities exact count ratios.
+
+    Scale shape: one distinct (conv_id, tool) projection (a shuffle on
+    the same high-cardinality conv key the pipeline already uses), a
+    conv_id self-join whose fan-out is bounded by the per-conversation
+    DISTINCT-TOOL count (tool vocabulary, not turns — a conversation
+    with 10k turns over 5 tools contributes C(5,2) pairs), and
+    tool-cardinality aggregates.  The 1-row conversation-count relation
+    rides in a broadcast cross join, never a driver collect."""
+    ct = (
+        transcripts.filter(
+            F.col("tool").isNotNull() & (F.col("tool") != "")
+        )
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    nc = transcripts.agg(
+        F.countDistinct("conv_id").alias("n_convs")
+    )
+    tn = ct.groupBy("tool").agg(F.count(F.lit(1)).alias("n"))
+    a = ct.alias("a")
+    b = ct.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.tool") < F.col("b.tool")),
+        )
+        .groupBy(
+            F.col("a.tool").alias("tool_a"),
+            F.col("b.tool").alias("tool_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tn.withColumnRenamed("tool", "tool_a")
+                        .withColumnRenamed("n", "n_a")),
+            "tool_a",
+        )
+        .join(
+            F.broadcast(tn.withColumnRenamed("tool", "tool_b")
+                        .withColumnRenamed("n", "n_b")),
+            "tool_b",
+        )
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "tool_a",
+            "tool_b",
+            "n_a",
+            "n_b",
+            "n_pair",
+            "n_convs",
+            F.log(
+                F.col("n_pair") * F.col("n_convs")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("pmi"),
+        )
+    )
+
+
+def tool_pmi_sql(inner: str) -> str:
+    """DuckDB twin over an inline transcripts relation ``inner``."""
+    return f"""
+WITH t AS ({inner}),
+ct AS (
+  SELECT DISTINCT conv_id, tool FROM t
+  WHERE tool IS NOT NULL AND tool <> ''
+),
+nc AS (SELECT cast(count(DISTINCT conv_id) AS bigint) AS n_convs FROM t),
+tn AS (SELECT tool, cast(count(*) AS bigint) AS n FROM ct GROUP BY tool),
+pr AS (
+  SELECT a.tool AS tool_a, b.tool AS tool_b,
+         cast(count(*) AS bigint) AS n_pair
+  FROM ct a JOIN ct b
+    ON a.conv_id = b.conv_id AND a.tool < b.tool
+  GROUP BY 1, 2
+)
+SELECT pr.tool_a, pr.tool_b, ta.n AS n_a, tb.n AS n_b, pr.n_pair,
+       nc.n_convs,
+       ln(pr.n_pair * 1.0 * nc.n_convs / (ta.n * tb.n)) AS pmi
+FROM pr
+JOIN tn ta ON ta.tool = pr.tool_a
+JOIN tn tb ON tb.tool = pr.tool_b
+CROSS JOIN nc
+"""

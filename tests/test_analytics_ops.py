@@ -354,3 +354,31 @@ def test_cms_overestimate_property_and_bound(spark):
         assert r["cms_estimate"] - r["exact_n"] <= 4 * eps * n_total, r
     # ranks are exactly 1..20, ordered by exact count
     assert sorted(r["rank"] for r in rows) == list(range(1, 21))
+
+
+def test_tool_pmi_semantics(spark):
+    """PMI = ln(n_pair·n_convs / (n_a·n_b)) over the conversation
+    universe; tools that never share a conversation emit no row; empty/
+    null tools are excluded; convs without tools still count in the
+    universe."""
+    import math
+
+    from d1_log_aggregation_spark.operators.analytics import tool_pmi
+
+    rows = [
+        ("c1", 0, "u", "t", "A", None), ("c1", 1, "u", "t", "B", None),
+        ("c2", 0, "u", "t", "A", None), ("c2", 1, "u", "t", "B", None),
+        ("c2", 2, "u", "t", "A", None),   # duplicate tool: distinct-only
+        ("c3", 0, "u", "t", "A", None),
+        ("c4", 0, "u", "t", "C", None), ("c4", 1, "u", "t", "", None),
+        ("c5", 0, "u", "t", None, None),  # toolless conv: in universe
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = {(r["tool_a"], r["tool_b"]): r for r in tool_pmi(df).collect()}
+    assert set(out) == {("A", "B")}
+    r = out[("A", "B")]
+    assert (r["n_a"], r["n_b"], r["n_pair"], r["n_convs"]) == (3, 2, 2, 5)
+    assert abs(r["pmi"] - math.log(2 * 5 / (3 * 2))) < 1e-12
