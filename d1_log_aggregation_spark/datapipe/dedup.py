@@ -849,7 +849,29 @@ def paragraph_dedup(
             shingle_key(F.col("block")).alias("bk"),
         )
     )
-    pos = F.col("doc_id") * F.lit(PARA_POS_MOD) + F.col("block_idx")
+    # runtime guard (ADVICE r5): the int64 position encoding silently
+    # corrupts first-occurrence ordering past 2^20 blocks per doc or
+    # 2^43 doc ids, so enforce the bounds in the plan itself.  The
+    # check GATES the multiply (when/otherwise — a separate unused
+    # check column would be pruned by Catalyst, and an additive guard
+    # can lose the evaluation-order race against the ANSI multiply
+    # overflow); raise_error carries the actionable message.  One
+    # codegen'd comparison per block row.
+    bounds_ok = (F.col("block_idx") < F.lit(PARA_POS_MOD)) & (
+        F.col("doc_id") >= 0
+    ) & (F.col("doc_id") < F.lit(1 << 43))
+    pos = F.when(
+        bounds_ok,
+        F.col("doc_id") * F.lit(PARA_POS_MOD) + F.col("block_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "paragraph_dedup: doc_id/block_idx exceed the int64 "
+                "position encoding (doc_id < 2^43, blocks/doc < 2^20) — "
+                "pre-chunk oversized docs or widen PARA_POS_MOD"
+            )
+        ).cast("long")
+    )
     firsts = bl.groupBy("bk").agg(F.min(pos).alias("first_pos"))
     marked = bl.join(firsts, "bk").withColumn(
         "is_dup", pos != F.col("first_pos")
@@ -1186,8 +1208,31 @@ def dup_rate_by_segment(
     documents table on the derived original id (both sides corpus-sized
     — correctly NOT a broadcast), one segment-cardinality aggregate.
     n_groups counts DISTINCT fingerprints in the segment (capacity after
-    exact dedup); all counts exact int64, dup_ratio one division."""
-    n0 = documents.agg(F.max("doc_id")).first()[0] + 1
+    exact dedup); all counts exact int64, dup_ratio one division.
+
+    Lineage precondition (ADVICE r5): the doc_id % n0 derivation is only
+    valid when documents carries DENSE ids 0..n0-1 — verified here in
+    the same single aggregate that computes n0 (max+count+min, no extra
+    pass); an empty relation or non-dense ids raise instead of silently
+    mis-attributing segments."""
+    stats = documents.agg(
+        F.max("doc_id").alias("mx"),
+        F.min("doc_id").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if stats["n"] == 0:
+        raise ValueError(
+            "dup_rate_by_segment: empty documents relation — no lineage "
+            "base to attribute corpus duplicates against"
+        )
+    n0 = stats["mx"] + 1
+    if stats["mn"] != 0 or stats["n"] != n0:
+        raise ValueError(
+            "dup_rate_by_segment: documents ids must be dense 0..N-1 "
+            f"(got min={stats['mn']}, max={stats['mx']}, n={stats['n']}) "
+            "— the doc_id % N lineage derivation does not hold; join on "
+            "an explicit lineage column instead"
+        )
     fp = corpus.select(
         "doc_id", F.md5(norm_text(F.col(text_col))).alias("fingerprint")
     )

@@ -122,16 +122,24 @@ def conv_checksums(transcripts: DataFrame) -> DataFrame:
     twice: once per key set — measured before this repartition was
     added).  The per-conv sort is array_sort over the collected
     (turn_idx, text) structs: turn counts are conversation-bounded,
-    never a global orderBy.  md5 over \\x01-joined UTF-8 text matches
-    DuckDB's md5(string_agg(text, chr(1) ORDER BY turn_idx))."""
+    never a global orderBy.
+
+    Encoding (ADVICE r5): the conv hash is md5 over the CONCATENATED
+    PER-TURN md5 hex digests of coalesce(text, '') in turn_idx order —
+    fixed-width 32-hex tokens, so turn text containing any separator
+    byte cannot alias across turn boundaries (the earlier \\x01-joined
+    form could), and NULL text hashes identically in both engines
+    (DuckDB's string_agg over raw text returns NULL for an all-NULL
+    conversation while Spark's concat_ws skips nulls — coalescing
+    BEFORE the per-turn hash removes the divergence)."""
     d = dedup_turns(transcripts.repartition("conv_id"))
-    ordered_texts = F.transform(
+    ordered_digests = F.transform(
         F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
-        lambda s: s["text"],
+        lambda s: F.md5(F.coalesce(s["text"], F.lit("")).cast("binary")),
     )
     return d.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
-        F.md5(F.concat_ws("\x01", ordered_texts).cast("binary")).alias(
+        F.md5(F.concat_ws("", ordered_digests).cast("binary")).alias(
             "conv_hash"
         ),
     )
@@ -143,7 +151,8 @@ def conv_checksums_sql(inner: str) -> str:
     return f"""
 SELECT conv_id,
        cast(count(*) AS bigint) AS n_turns,
-       md5(string_agg(text, chr(1) ORDER BY turn_idx)) AS conv_hash
+       md5(string_agg(md5(coalesce(text, '')), '' ORDER BY turn_idx))
+         AS conv_hash
 FROM ({deduped}) dd
 GROUP BY conv_id
 """

@@ -1130,6 +1130,47 @@ def test_dup_rate_by_segment_semantics(spark):
     assert s1["n_groups"] == 3 and s1["dup_ratio"] == 0.0
 
 
+def test_dup_rate_by_segment_guards(spark):
+    """ADVICE r5: empty documents and non-dense ids must raise a clear
+    error instead of TypeError / silent lineage mis-attribution."""
+    import pytest as _pytest
+
+    from d1_log_aggregation_spark.datapipe.dedup import dup_rate_by_segment
+
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    corpus = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    empty = spark.createDataFrame([], schema)
+    with _pytest.raises(ValueError, match="empty documents"):
+        dup_rate_by_segment(empty, corpus)
+    sparse = spark.createDataFrame(
+        [(0, "aaa", "en", "s0", 3), (5, "bbb", "en", "s0", 3)], schema
+    )
+    with _pytest.raises(ValueError, match="dense"):
+        dup_rate_by_segment(sparse, corpus)
+
+
+def test_paragraph_dedup_position_bounds_guard(spark):
+    """ADVICE r5: the int64 (doc_id, block_idx) position encoding is now
+    enforced in the plan — a doc_id past 2^43 fails loudly instead of
+    silently corrupting first-occurrence order."""
+    import pytest as _pytest
+
+    from d1_log_aggregation_spark.datapipe.dedup import paragraph_dedup
+
+    bad = spark.createDataFrame(
+        [((1 << 43) + 7, "a b c")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="position encoding"):
+        paragraph_dedup(bad, block_tokens=3).collect()
+    ok = spark.createDataFrame(
+        [((1 << 43) - 1, "a b c")], "doc_id long, text string"
+    )
+    assert paragraph_dedup(ok, block_tokens=3).count() == 1
+
+
 def test_containment_catches_wrapped_copy_jaccard_misses(spark):
     """A short doc embedded verbatim at the head of a much longer one:
     containment of the short side is exactly 1.0 while jaccard falls

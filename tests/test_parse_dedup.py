@@ -159,12 +159,19 @@ def test_conv_integrity_semantics(spark):
     assert c["n_dup_keys"] == 0 and not c["has_gaps"]
 
 
+def _conv_hash(texts):
+    import hashlib
+
+    per_turn = "".join(
+        hashlib.md5((t or "").encode()).hexdigest() for t in texts
+    )
+    return hashlib.md5(per_turn.encode()).hexdigest()
+
+
 def test_conv_checksums_idempotent_and_ordered(spark):
     """The checksum is over rank-1 survivors in turn_idx order: replayed
     duplicate rows change nothing; the hash equals the hand-computed md5
-    of the \\x01-joined expected texts."""
-    import hashlib
-
+    of the concatenated per-turn md5 digests."""
     from d1_log_aggregation_spark.operators.dedup import conv_checksums
 
     base = [
@@ -182,10 +189,52 @@ def test_conv_checksums_idempotent_and_ordered(spark):
     replay = conv_checksums(
         spark.createDataFrame(dup_replay, schema)
     ).collect()
-    expect = hashlib.md5("hello\x01world".encode()).hexdigest()
+    expect = _conv_hash(["hello", "world"])
     assert clean[0]["conv_hash"] == expect
     assert replay[0]["conv_hash"] == expect
     assert clean[0]["n_turns"] == replay[0]["n_turns"] == 2
+
+
+def test_conv_checksums_null_and_separator_edges(spark):
+    """ADVICE r5 edge inputs, checked against the DuckDB twin: an
+    all-NULL-text conversation must hash (not NULL-out), and texts
+    containing would-be separator bytes must not alias across turn
+    boundaries — per-turn fixed-width digests guarantee both."""
+    from d1_log_aggregation_spark.operators.dedup import (
+        conv_checksums,
+        conv_checksums_sql,
+    )
+
+    rows = [
+        ("nulls", 0, "u", None, None, None),
+        ("nulls", 1, "u", None, None, None),
+        # same concatenation under a 1-byte separator, different turns
+        ("sepA", 0, "u", "x\x01y", None, None),
+        ("sepA", 1, "u", "z", None, None),
+        ("sepB", 0, "u", "x", None, None),
+        ("sepB", 1, "u", "y\x01z", None, None),
+    ]
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    df = spark.createDataFrame(rows, schema)
+    got = {r["conv_id"]: r["conv_hash"]
+           for r in conv_checksums(df).collect()}
+    assert got["nulls"] == _conv_hash([None, None])
+    assert got["sepA"] == _conv_hash(["x\x01y", "z"])
+    assert got["sepA"] != got["sepB"]
+
+    import duckdb
+
+    duck = duckdb.connect()
+    duck.register("t_edges", df.toPandas())
+    oracle = dict(
+        duck.execute(
+            "SELECT conv_id, conv_hash FROM ("
+            + conv_checksums_sql("SELECT * FROM t_edges")
+            + ") q"
+        ).fetchall()
+    )
+    assert oracle == got
 
 
 def test_conv_checksums_plan_single_exchange(spark):

@@ -86,21 +86,29 @@ def main() -> None:
         results[name] = rec
         print(json.dumps({name: rec}), flush=True)
     spark.stop()
-    n_ok = sum(
+    # value-verified green vs executed-but-oracle-less (ADVICE r5: do
+    # not fold rows-only entries into the headline green count)
+    n_ok = sum(1 for r in results.values() if r["hash_match"])
+    n_rows_only = sum(
         1
         for r in results.values()
-        if r["hash_match"]
-        or (r["err"] == "no_oracle" and r["spark_rows"] is not None)
+        if not r["hash_match"]
+        and r["err"] == "no_oracle"
+        and r["spark_rows"] is not None
     )
     payload = {
         "sf_dir": SF_DIR,
         "n_queries": len(results),
         "n_green": n_ok,
+        "n_rows_only": n_rows_only,
         "queries": results,
     }
     with open(OUT, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
-    print(f"wrote {OUT}: {n_ok}/{len(results)} green")
+    print(
+        f"wrote {OUT}: {n_ok}/{len(results)} green"
+        + (f" + {n_rows_only} rows-only" if n_rows_only else "")
+    )
 
 
 if __name__ == "__main__":
