@@ -337,6 +337,30 @@ def _q_transcripts_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _q_transcripts_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family ingest source: transcripts round-tripped through the XML
+    landing zone (sources.py; the reference's native interchange format,
+    logEntry-valid.xml / v1/NodeCommunication.java:146-149) — Spark 4's
+    built-in XML source with schema-enforced PERMISSIVE read and
+    corrupt-record DLQ routing; the good-side relation must be
+    byte-equal to the parquet transcripts (same oracle)."""
+    import shutil
+    import tempfile
+
+    from d1_log_aggregation_spark import sources
+
+    d = tempfile.mkdtemp(prefix="gate_xml_")
+    try:
+        sources.write_transcripts_xml(load_transcripts(spark, sf_dir), d)
+        good, _dlq = sources.read_transcripts_xml(spark, d)
+        out = good.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        schema = out.schema
+        rows = out.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def _q_scd2_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 dimension build (operators/scd.py): the versioned-registry
     change log rolled into [valid_from, valid_to) intervals + is_current
@@ -997,72 +1021,24 @@ def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    FIRST 50 entries.  Round-5 rotation (VERDICT r4 item 2): the window
-    holds (a) the queries new or newly value-oracled this round, (b) the
-    27 queries whose latest driver row was r1-r3 (rotated out by the r4
-    window), and (c) the pipeline core.  Every entry past the window has
-    a driver-green ROUND-4 row (asserted when the order was set) and is
-    re-swept every pytest run by tests/test_oracle_gate.py plus the
-    committed SWEEP artifact."""
+    FIRST 50 entries.  Round-6 rotation (VERDICT r5 item 4 — keep the
+    "union of the last two CORRECTNESS files covers the full registry"
+    invariant): the window holds (a) the one query new this round
+    (transcripts_xml) and (b) ALL 49 entries whose latest driver row is
+    r4 (i.e. exactly the entries CORRECTNESS_r05 did NOT cover —
+    verified against the committed artifact when this order was set, so
+    r5 ∪ r6 = the full 100-entry registry).  The 50 entries past the
+    window all have a driver-green ROUND-5 row and are re-swept every
+    pytest run by tests/test_oracle_gate.py plus the committed SWEEP
+    artifact."""
     return {
-        # --- new / newly value-oracled in round 5 -------------------------
-        "paragraph_dedup": _q_paragraph_dedup,
-        "entropy_stats": _q_entropy_stats,
-        "lm_perplexity": _q_lm_perplexity,
-        "corpus_mix": _q_corpus_mix,
-        "dsir_weights": _q_dsir_weights,
-        "dup_ngram_stats": _q_dup_ngram_stats,
-        "semdedup": _q_semdedup,
-        "filter_funnel": _q_filter_funnel,
-        "token_fertility": _q_token_fertility,
-        "ann_recall_audit": _q_ann_recall_audit,
-        "dup_rate_by_segment": _q_dup_rate_by_segment,
-        "conv_integrity": _q_conv_integrity,
-        "conv_checksums": _q_conv_checksums,
-        "containment_pairs": _q_containment_pairs,
-        "multimodal_video_frames": _q_multimodal_video,
-        "multimodal_resized": _q_multimodal_resized,
-        "tool_pmi": _q_tool_pmi,
-        "repetition_stats": _q_repetition_stats,
-        "split_leakage": _q_split_leakage,
-        "enrich_geo_range": _q_enrich_geo_range,
-        "robot_flags_fullscale": _q_robot_flags_fullscale,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "approx_distinct_subjects": _q_approx_distinct_subjects,
-        # --- rotated in: last driver row r1-r3 (r1-vintage first) ---------
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_bruteforce_topk": _q_ann_brute,
-        "ann_lsh_topk": _q_ann_lsh,
-        "minhash_lsh_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "multimodal_features": _q_multimodal,
-        "embedding_neardup_pairs": _q_embedding_neardup,
-        "embedding_neardup_bruteforce": _q_embedding_neardup_brute,
-        "session_stats": _q_session_stats,
-        "corpus_sample": _q_corpus_sample,
-        "corpus_sample_stratified": _q_corpus_sample_stratified,
-        "shard_stats": _q_shard_stats,
-        "pack_manifest": _q_pack_manifest,
-        "dedup_cap_stats": _q_dedup_cap_stats,
-        "contamination_flags": _q_contamination_flags,
-        "dedup_components": _q_dedup_components,
-        "component_representatives": _q_component_reps,
-        "scrub_text": _q_scrub_text,
-        "vocab_topk": _q_vocab_topk,
-        "dedup_against": _q_dedup_against,
-        "top_pids_per_role": _q_top_pids_per_role,
-        "doc_keywords": _q_doc_keywords,
-        "robot_rate_daily": _q_robot_rate_daily,
-        "user_retention": _q_user_retention,
-        "sink_role_rollup": _q_sink_role_rollup,
-        "role_event_pivot": _q_role_event_pivot,
-        # --- representative pipeline core (r4-green, re-verified) ---------
-        # --- core slots inside the 50-window: the highest-signal rows
-        # (routed_rows subsumes the transcripts→dedup→parse→classify→
-        # enrich lineage; sink_counts is the north-rule headline;
-        # repeat_visits is the custom stateful W1 op; one streaming row
-        # keeps §2.8 driver-checked this round) ------------------------
+        # --- new in round 6 ----------------------------------------------
+        "transcripts_xml": _q_transcripts_xml,
+        # --- rotated in: every entry whose latest driver row is r4 --------
+        # (pipeline core first — routed_rows subsumes the transcripts→
+        # dedup→parse→classify→enrich lineage; sink_counts is the
+        # north-rule headline; repeat_visits is the custom stateful W1
+        # op; three streaming rows keep §2.8 driver-checked) ---------------
         "routed_rows": _q_routed_rows,
         "sink_counts": _q_sink_counts,
         "repeat_visits": _q_repeat_visits,
@@ -1083,8 +1059,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_buckets": _q_checkpoint_buckets,
         "flagship_clean_reads_per_role": _q_flagship,
         "convs_without_dlq": _q_convs_without_dlq,
-        # --- past the driver's 50-entry window: ALL driver-green in
-        # --- ROUND 4; full-registry pytest sweeps them every run ----------
         "conv_funnel": _q_conv_funnel,
         "enrich_asof": _q_enrich_asof,
         "token_quantiles": _q_token_quantiles,
@@ -1114,6 +1088,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_deduped": _q_corpus_deduped,
         "training_corpus": _q_training_corpus,
         "minhash_signatures": _q_minhash_sigs,
+        # --- past the driver's 50-entry window: ALL driver-green in
+        # --- ROUND 5 (CORRECTNESS_r05.json); full-registry pytest +
+        # --- SWEEP re-verify them every run --------------------------------
+        "paragraph_dedup": _q_paragraph_dedup,
+        "entropy_stats": _q_entropy_stats,
+        "lm_perplexity": _q_lm_perplexity,
+        "corpus_mix": _q_corpus_mix,
+        "dsir_weights": _q_dsir_weights,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "semdedup": _q_semdedup,
+        "filter_funnel": _q_filter_funnel,
+        "token_fertility": _q_token_fertility,
+        "ann_recall_audit": _q_ann_recall_audit,
+        "dup_rate_by_segment": _q_dup_rate_by_segment,
+        "conv_integrity": _q_conv_integrity,
+        "conv_checksums": _q_conv_checksums,
+        "containment_pairs": _q_containment_pairs,
+        "multimodal_video_frames": _q_multimodal_video,
+        "multimodal_resized": _q_multimodal_resized,
+        "tool_pmi": _q_tool_pmi,
+        "repetition_stats": _q_repetition_stats,
+        "split_leakage": _q_split_leakage,
+        "enrich_geo_range": _q_enrich_geo_range,
+        "robot_flags_fullscale": _q_robot_flags_fullscale,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "approx_distinct_subjects": _q_approx_distinct_subjects,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_bruteforce_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "multimodal_features": _q_multimodal,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_bruteforce": _q_embedding_neardup_brute,
+        "session_stats": _q_session_stats,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_sample_stratified": _q_corpus_sample_stratified,
+        "shard_stats": _q_shard_stats,
+        "pack_manifest": _q_pack_manifest,
+        "dedup_cap_stats": _q_dedup_cap_stats,
+        "contamination_flags": _q_contamination_flags,
+        "dedup_components": _q_dedup_components,
+        "component_representatives": _q_component_reps,
+        "scrub_text": _q_scrub_text,
+        "vocab_topk": _q_vocab_topk,
+        "dedup_against": _q_dedup_against,
+        "top_pids_per_role": _q_top_pids_per_role,
+        "doc_keywords": _q_doc_keywords,
+        "robot_rate_daily": _q_robot_rate_daily,
+        "user_retention": _q_user_retention,
+        "sink_role_rollup": _q_sink_role_rollup,
+        "role_event_pivot": _q_role_event_pivot,
     }
 
 
@@ -1225,8 +1252,9 @@ def oracle_sql() -> dict[str, str]:
             "embedding_stats": dp_oracle.embedding_stats_sql(),
         }
     )
-    # the JSONL round-trip must reproduce the parquet transcripts
+    # the JSONL/XML round-trips must reproduce the parquet transcripts
     # exactly; the clustered layout rewrite must reproduce routed_rows
     out["transcripts_jsonl"] = out["transcripts"]
+    out["transcripts_xml"] = out["transcripts"]
     out["routed_rows_clustered"] = out["routed_rows"]
     return out

@@ -191,6 +191,34 @@ def run_once(
     }
 
 
+def _timed_rows(
+    spark,
+    jobs: dict,
+    rep_times: dict[str, list[float]],
+    warm: int = 2,
+    reps: int = 3,
+) -> dict[str, float]:
+    """warm + min-of-N with PER-REP times kept for EVERY row (VERDICT r5
+    item 1: the r5 artifact hardened only the 4 headline rows, so two
+    non-headline rows shipped as single contended samples 2.8-3.5× above
+    quiet-box numbers — indistinguishable from a real regression without
+    the rep spread).  Caches cleared between rows so later jobs aren't
+    timed under earlier jobs' dead cached relations."""
+    out: dict[str, float] = {}
+    for name, fn in jobs.items():
+        for _ in range(warm):
+            _mat(fn())
+        samples = []
+        for _ in range(reps):
+            t = time.monotonic()
+            _mat(fn())
+            samples.append(round(time.monotonic() - t, 3))
+        rep_times[name] = samples
+        out[name] = min(samples)
+        spark.catalog.clearCache()
+    return out
+
+
 class _ScratchDirs:
     """Fresh-dir-per-call scratch allocator that REMOVES everything it
     handed out (ADVICE r3: mkdtemp per timed invocation leaked a
@@ -216,7 +244,7 @@ class _ScratchDirs:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def run_datapipe(spark) -> dict:
+def run_datapipe(spark, rep_times: dict[str, list[float]]) -> dict:
     """Dedup-suite bench over the dup-planted corpus at SF_DIR (VERDICT r1
     item 1: the candidate-only LSH and 16-bit-band SimHash need a bench
     entry, not just green correctness)."""
@@ -228,7 +256,6 @@ def run_datapipe(spark) -> dict:
     corpus = load_corpus(spark, SF_DIR)
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     vcorp = vectors.load_vector_corpus(spark, SF_DIR)
-    out = {}
     with _ScratchDirs("bench_lsh_scratch_") as scratch:
         jobs = {
             "dedup_corpus_deduped": lambda: dedup.corpus_deduped(corpus),
@@ -248,24 +275,10 @@ def run_datapipe(spark) -> dict:
                 lambda: vectors.embedding_neardup_pairs(vcorp),
             "semdedup": lambda: vectors.semdedup(vcorp),
         }
-        for name, fn in jobs.items():
-            for _ in range(2):  # warm (JIT convergence, see warm-up)
-                _mat(fn())
-            best = None
-            for _ in range(2):
-                t = time.monotonic()
-                _mat(fn())
-                dt = time.monotonic() - t
-                best = dt if best is None else min(best, dt)
-            out[name] = round(best, 3)
-            # each call persists its own internal caches (shingle index,
-            # band tables); drop them so later jobs are not timed under
-            # the eviction pressure of earlier jobs' dead caches
-            spark.catalog.clearCache()
-    return out
+        return _timed_rows(spark, jobs, rep_times)
 
 
-def run_round_ops(spark) -> dict:
+def run_round_ops(spark, rep_times: dict[str, list[float]]) -> dict:
     """Timed rows for the operator families the r2/r3 rounds added
     (VERDICT r2 item 9): funnel, exact token quantiles, as-of enrich,
     sessionization — so later rounds can see regressions on them.
@@ -312,7 +325,6 @@ def run_round_ops(spark) -> dict:
     routed = spark.read.parquet("/tmp/bench_routed.parquet")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    out = {}
     with _ScratchDirs("bench_roundops_scratch_") as scratch:
         jobs = {
             "conv_funnel": lambda: conv_funnel(routed),
@@ -384,26 +396,17 @@ def run_round_ops(spark) -> dict:
         # the range-cluster + sort + parquet write of the routed table
         from d1_log_aggregation_spark.sinks.layout import optimize_layout
 
+        out = {}
         for _ in range(1):
             optimize_layout(routed, scratch.fresh(), n_files=32)
-        best = None
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t = time.monotonic()
             optimize_layout(routed, scratch.fresh(), n_files=32)
-            dt = time.monotonic() - t
-            best = dt if best is None else min(best, dt)
-        out["sink_layout_rewrite"] = round(best, 3)
-        for name, fn in jobs.items():
-            for _ in range(2):
-                _mat(fn())
-            best = None
-            for _ in range(2):
-                t = time.monotonic()
-                _mat(fn())
-                dt = time.monotonic() - t
-                best = dt if best is None else min(best, dt)
-            out[name] = round(best, 3)
-            spark.catalog.clearCache()
+            samples.append(round(time.monotonic() - t, 3))
+        rep_times["sink_layout_rewrite"] = samples
+        out["sink_layout_rewrite"] = min(samples)
+        out.update(_timed_rows(spark, jobs, rep_times))
     return out
 
 
@@ -414,6 +417,7 @@ def run_sf1_scale(master: str, shuffle_partitions: int) -> dict:
     r = run_once(master, shuffle_partitions, replicate=10, tag="_sf1")
     return {
         "pipeline_sf1_replicated_sec": r["pipeline_sec"],
+        "pipeline_sf1_rep_times": r["rep_times"]["pipeline_routed_full"],
         "n_turns_sf1": r["n_turns"],
         "throughput_sf1_turns_per_sec": r["throughput_turns_per_sec"],
     }
@@ -795,17 +799,21 @@ def main() -> None:
     # driver artifact while a quiet box showed the opposite; running it
     # directly after the headline keeps its box conditions comparable
     # across rounds — and run_once itself takes best-of-5 inside)
+    rep_times = dict(r["rep_times"])
     sf1 = {}
     if os.environ.get("SPARK_GRAFT_SKIP_SF1", "") != "1":
         sf1 = run_sf1_scale(master, shuffle)
         queries["pipeline_sf1_replicated"] = sf1["pipeline_sf1_replicated_sec"]
+        rep_times["pipeline_sf1_replicated"] = sf1.pop(
+            "pipeline_sf1_rep_times"
+        )
 
     from d1_log_aggregation_spark.session import get_spark
 
     spark = get_spark(app_name="bench-datapipe", master=master,
                       shuffle_partitions=shuffle)
-    queries.update(run_datapipe(spark))
-    queries.update(run_round_ops(spark))
+    queries.update(run_datapipe(spark, rep_times))
+    queries.update(run_round_ops(spark, rep_times))
     spark.stop()
 
     print(
@@ -819,10 +827,10 @@ def main() -> None:
                 "n_turns": r["n_turns"],
                 "n_routed": r["n_routed"],
                 "throughput_turns_per_sec": r["throughput_turns_per_sec"],
-                # per-rep samples for the headline rows: a wide spread
-                # with a fast min = neighbor load; a uniformly-slow set
-                # = a real regression (VERDICT r4 item 1)
-                "rep_times": r["rep_times"],
+                # per-rep samples for EVERY row (VERDICT r5 item 1): a
+                # wide spread with a fast min = neighbor load; a
+                # uniformly-slow set = a real regression
+                "rep_times": rep_times,
                 **{k: v for k, v in sf1.items()
                    if k != "pipeline_sf1_replicated_sec"},
             }

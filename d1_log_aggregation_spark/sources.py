@@ -90,6 +90,48 @@ def read_transcripts_csv(
     return _split(raw)
 
 
+XML_ROW_TAG = "logEntry"
+XML_ROOT_TAG = "log"
+
+
+def read_transcripts_xml(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(good, dlq) from XML (Spark 4's built-in XML source; one
+    ``rowTag`` element per turn under a ``rootTag`` document element) —
+    the reference's native interchange format: its log records travel
+    as <logEntry> documents (d1_common test fixture logEntry-valid.xml;
+    deserialized in v1/NodeCommunication.java:146-149), so a landing
+    zone of XML exports is the closest analog of the reference's wire
+    input.  Same PERMISSIVE + corrupt-column + identity-field DLQ
+    contract as the JSONL/CSV readers: a malformed element survives
+    into CORRUPT_COL inside the scan (no second pass), and Catalyst
+    prunes whichever side a consumer drops."""
+    raw = (
+        spark.read.format("xml")
+        .schema(_READ_DDL)
+        .option("rowTag", XML_ROW_TAG)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("timestampFormat", TS_FORMAT)
+        .load(path)
+    )
+    return _split(raw)
+
+
+def write_transcripts_xml(df: DataFrame, path: str) -> None:
+    """XML landing-zone writer twin (test scaffolding + export): one
+    <logEntry> element per turn, ISO-µs timestamps so the read side
+    reparses bit-identically.  Null fields are omitted elements — the
+    XML idiom — and read back as nulls."""
+    df.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.date_format("ts", TS_FORMAT).alias("ts"),
+    ).write.mode("overwrite").format("xml").option(
+        "rowTag", XML_ROW_TAG
+    ).option("rootTag", XML_ROOT_TAG).save(path)
+
+
 def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
     """Landing-zone writer twin (test scaffolding + the export side of
     the compaction job): ISO-µs timestamps so the read side reparses

@@ -58,6 +58,63 @@ def test_csv_round_trip_and_dlq(spark, tmp_path):
     assert dlq.count() == 2
 
 
+def test_xml_corrupt_and_missing_identity_route_to_dlq(spark, tmp_path):
+    """The reference's native interchange is XML <logEntry> documents
+    (logEntry-valid.xml; v1/NodeCommunication.java:146-149): same DLQ
+    contract as JSONL — unparsable/ill-typed elements carry the raw
+    element, identity-less rows route by the blank-docid analog."""
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.xml").write_text(
+        "<log>\n"
+        "<logEntry><conv_id>c1</conv_id><turn_idx>0</turn_idx>"
+        "<role>user</role><text>hi</text>"
+        "<ts>2024-01-01T12:00:00.000000</ts></logEntry>\n"
+        # type violation: turn_idx not an int
+        "<logEntry><conv_id>c2</conv_id><turn_idx>NaN</turn_idx>"
+        "<role>user</role><text>y</text>"
+        "<ts>2024-01-01T12:00:00.000000</ts></logEntry>\n"
+        # structurally valid, missing identity (no ts)
+        "<logEntry><conv_id>c3</conv_id><turn_idx>1</turn_idx>"
+        "<role>user</role><text>x</text></logEntry>\n"
+        "</log>\n"
+    )
+    from d1_log_aggregation_spark import sources as s
+
+    good, dlq = s.read_transcripts_xml(spark, str(p))
+    grows = good.collect()
+    assert len(grows) == 1
+    r = grows[0]
+    assert (r["conv_id"], r["turn_idx"], r["tool"]) == ("c1", 0, None)
+    assert r["ts"] == dt.datetime(2024, 1, 1, 12, 0, 0)
+    drows = dlq.collect()
+    assert len(drows) == 2
+    assert sum(1 for d in drows if d["schema_corrupt"]) >= 1
+
+
+def test_xml_round_trip_preserves_transcripts(spark, tmp_path):
+    """Full-table XML round trip at sf0.001 (the gate does sf0.01):
+    good side reproduces every row byte-for-byte, DLQ side is empty."""
+    from d1_log_aggregation_spark.transcripts import load_transcripts
+
+    src = load_transcripts(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "xm")
+    sources.write_transcripts_xml(src, out)
+    good, dlq = sources.read_transcripts_xml(spark, out)
+    assert dlq.count() == 0
+    key = lambda r: tuple(r)  # noqa: E731
+    a = sorted(map(key, src.collect()))
+    b = sorted(
+        map(
+            key,
+            good.select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_jsonl_round_trip_preserves_transcripts(spark, tmp_path):
     """Full-table round trip at sf0.001 (the gate does sf0.01): good
     side reproduces every row, DLQ side is empty."""
