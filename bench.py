@@ -622,27 +622,48 @@ def run_skew(master: str, shuffle_partitions: int) -> dict:
         }
     )
     skewed.repartition(128).write.mode("overwrite").parquet(skew_path)
-    cfg = PipelineConfig(
-        repeat_visit_interval_seconds=SF_REPEAT_INTERVAL_SECONDS,
-        with_geohash=True,
-    )
     registry = dims.registry_df(spark, SF_DIR)
     sysmeta = dims.sysmeta_df(spark, SF_DIR)
 
-    out = {}
-    for name, path in (("uniform", TRANSCRIPTS_PATH), ("skewed", skew_path)):
-        job = lambda: _mat(  # noqa: E731
-            run_pipeline(spark.read.parquet(path), registry, sysmeta, cfg)
+    # wide = default pass-through scan; narrow = repeat_scan_narrow (the
+    # hot-key configuration: scan-column-only window + event_id join
+    # back).  All four (input × scan) legs interleave inside one session
+    # so box drift lands evenly (the --scaling lesson).
+    out: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
+    legs = [
+        (inp, path, scan, narrow)
+        for inp, path in (
+            ("uniform", TRANSCRIPTS_PATH), ("skewed", skew_path)
         )
+        for scan, narrow in (("wide", False), ("narrow", True))
+    ]
+    jobs = {}
+    for inp, path, scan, narrow in legs:
+        cfg_v = PipelineConfig(
+            repeat_visit_interval_seconds=SF_REPEAT_INTERVAL_SECONDS,
+            with_geohash=True,
+            repeat_scan_narrow=narrow,
+        )
+        jobs[f"pipeline_{inp}_{scan}"] = (
+            lambda p=path, c=cfg_v: run_pipeline(
+                spark.read.parquet(p), registry, sysmeta, c
+            )
+        )
+    for name, fn in jobs.items():
         for _ in range(2):
-            job()
-        best = None
-        for _ in range(3):
+            _mat(fn())
+    for _ in range(3):
+        for name, fn in jobs.items():
             t = time.monotonic()
-            job()
-            dt = time.monotonic() - t
-            best = dt if best is None else min(best, dt)
-        out[f"pipeline_{name}_sec"] = round(best, 3)
+            _mat(fn())
+            rep_times.setdefault(name, []).append(
+                round(time.monotonic() - t, 3)
+            )
+    for name, samples in rep_times.items():
+        out[f"{name}_sec"] = min(samples)
+    out["pipeline_uniform_sec"] = out["pipeline_uniform_wide_sec"]
+    out["pipeline_skewed_sec"] = out["pipeline_skewed_wide_sec"]
     hot_rows = spark.read.parquet(skew_path).filter(
         F.col("conv_id") == "conv-hot"
     ).count()
@@ -652,8 +673,27 @@ def run_skew(master: str, shuffle_partitions: int) -> dict:
         "hot_key_rows": hot_rows,
         "hot_fraction": round(hot_rows / n_turns, 3),
         **out,
+        "rep_times": rep_times,
+        # headline (default config) and the narrow-scan configuration's
+        # slowdown — each vs ITS OWN uniform cost, plus the cross ratio
+        # the config decision actually rides on: skewed-narrow vs
+        # uniform-wide (what you pay under skew relative to the default
+        # engine on clean traffic)
         "skew_slowdown": round(
-            out["pipeline_skewed_sec"] / out["pipeline_uniform_sec"], 3
+            out["pipeline_skewed_wide_sec"]
+            / out["pipeline_uniform_wide_sec"], 3
+        ),
+        "skew_slowdown_narrow": round(
+            out["pipeline_skewed_narrow_sec"]
+            / out["pipeline_uniform_narrow_sec"], 3
+        ),
+        "skewed_narrow_vs_uniform_wide": round(
+            out["pipeline_skewed_narrow_sec"]
+            / out["pipeline_uniform_wide_sec"], 3
+        ),
+        "narrow_uniform_overhead": round(
+            out["pipeline_uniform_narrow_sec"]
+            / out["pipeline_uniform_wide_sec"], 3
         ),
     }
 

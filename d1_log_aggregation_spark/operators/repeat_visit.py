@@ -184,6 +184,7 @@ def flag_repeat_visits(
     events_to_check: tuple[str, ...] = ("read",),
     order_tiebreak: tuple[str, ...] = ("conv_id", "turn_idx"),
     fuse_geohash: bool = False,
+    narrow_scan: bool = False,
 ) -> DataFrame:
     """Adds boolean ``is_repeat_visit`` (and, when ``fuse_geohash`` and
     lat/lon columns are present, ``geohash_9``).
@@ -192,15 +193,65 @@ def flag_repeat_visits(
     round trip of the row set; fusing the (vectorized) geohash encode into
     this already-necessary pass saves one round trip — measured as the
     second-largest cost in the final stage at 6.4M rows.
+
+    ``narrow_scan`` (VERDICT r5 item 7, hot-key skew): the default
+    pass-through design shuffles FULL rows onto (ip, pid), so one hot
+    client×document key concentrates the whole payload width (text, ua,
+    …) into a single sorted task.  The anchor chain itself is
+    irreducibly sequential per key (the anchor only advances on
+    non-repeats; with no ≥interval gap there is no split point — see
+    PLANS note), but the WIDTH is not: narrow_scan runs the identical
+    window+scan over only the scan-relevant columns (~30 B/row vs
+    ~300 B) and hash-joins the flag back on the unique, uniform
+    event_id.  Costs one extra wide shuffle + upstream re-map (the
+    dedup exchange is reused by Catalyst), so it loses on uniform data
+    — it is the SKEW configuration, wired as
+    ``PipelineConfig.repeat_scan_narrow`` and measured by
+    ``bench.py --skew``.
     """
+    if narrow_scan:
+        names = df.schema.names
+        do_geo = fuse_geohash and "lat" in names and "lon" in names
+        cols = ["event_id", "ip", "pid", "ts", "event", *order_tiebreak]
+        if do_geo:
+            cols += ["lat", "lon"]
+        seen: set[str] = set()
+        cols = [c for c in cols if not (c in seen or seen.add(c))]
+        flagged = _flag_core(
+            df.select(*cols),
+            interval_seconds,
+            events_to_check,
+            order_tiebreak,
+            fuse_geohash,
+        )
+        keep = ["event_id", "is_repeat_visit"] + (
+            ["geohash_9"] if do_geo else []
+        )
+        return df.join(flagged.select(*keep), "event_id")
+    return _flag_core(
+        df, interval_seconds, events_to_check, order_tiebreak, fuse_geohash
+    )
+
+
+def _flag_core(
+    df: DataFrame,
+    interval_seconds: int,
+    events_to_check: tuple[str, ...],
+    order_tiebreak: tuple[str, ...],
+    fuse_geohash: bool,
+) -> DataFrame:
     interval_us = (interval_seconds + 1) * 1_000_000  # +1 s, exclusive end
     checked = F.lower(F.trim(F.col("event"))).isin(list(events_to_check))
 
     # PASS-THROUGH design: one hash shuffle of the full frame on (ip, pid),
-    # flag computed inline during the partition scan — the alternative
-    # (scan a narrow projection, join flags back on event_id) computes the
-    # whole upstream twice, adds two shuffles, and measured ~1.7× slower
-    # at 6.4M rows.
+    # flag computed inline during the partition scan.  The narrow-scan
+    # alternative (see flag_repeat_visits) adds two wide exchanges; an
+    # early mapInPandas prototype measured it ~1.7× slower at 6.4M rows,
+    # and though the r6 mapInArrow remeasure shows it faster on THIS
+    # box (local sort width dominates; BASELINE.md r6), pass-through
+    # stays the default: it moves each byte across the exchange layer
+    # exactly once — the scarce resource on a real network-bound
+    # cluster — while narrow_scan is the hot-key configuration.
     #
     # Python touches ONLY ints/bools, zero-copy via mapInArrow:
     # - the JVM window row_number marks key boundaries (rn == 1 ⇔ new

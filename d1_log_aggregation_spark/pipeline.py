@@ -62,6 +62,11 @@ class PipelineConfig:
     # stamps dateAggregated=now, LogHarvesterTask.java:346,355)
     date_aggregated: str = "2026-01-01 00:00:00"
     salt_buckets: int = 0  # >0 → salted repartition of hot conversations
+    # hot (ip, pid) keys: scan only the ~30 B/row scan columns in the
+    # single-task-per-key sorted window and hash-join the flag back on
+    # the uniform event_id (narrow_scan in operators/repeat_visit.py);
+    # costs an extra wide shuffle, so OFF for uniform traffic
+    repeat_scan_narrow: bool = False
 
 
 # Routed-row output schema (the LogEntrySolrItem analog, §1.2/§1.3).
@@ -115,6 +120,7 @@ def run_pipeline(
         interval_seconds=cfg.repeat_visit_interval_seconds,
         events_to_check=cfg.events_to_check,
         fuse_geohash=cfg.with_geohash,
+        narrow_scan=cfg.repeat_scan_narrow,
     )
     robot_ranges = None
     if cfg.do_robot_ip_check and cfg.robot_ip_via_join:

@@ -969,6 +969,19 @@ def test_dsir_weights_semantics(spark):
             < out[3]["log_weight"] / out[3]["n_feats"])
 
 
+def test_kmeans_centroid_ceiling_guard(spark):
+    """VERDICT r5 item 5: driver-resident centroid state is bounded by
+    an explicit, byte-math-documented ceiling — asking for more raises
+    before any job runs instead of silently growing the Arrow closure."""
+    import pytest as _pytest
+
+    from d1_log_aggregation_spark.datapipe import ann, vectors
+
+    vc = vectors.load_vector_corpus(spark, SF)
+    with _pytest.raises(ValueError, match="MAX_CENTROIDS"):
+        ann.kmeans_centroids(vc, n_centroids=ann.MAX_CENTROIDS + 1)
+
+
 def test_semdedup_prunes_planted_copies(spark):
     """Semantic dedup over the dup-planted vector corpus: (a) one output
     row per corpus vector, (b) for every planted (i, i+N) pair whose

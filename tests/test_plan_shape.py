@@ -56,6 +56,25 @@ def test_pipeline_plan_two_shuffles_broadcast_dims(spark):
             assert "user_id" in line, line
 
 
+def test_narrow_scan_plan_excludes_payload_from_hot_window(spark):
+    """repeat_scan_narrow (the hot-key configuration): the Python scan
+    stage and the (ip, pid) window exchange feeding it must carry ONLY
+    the scan columns — no text/ua payload in the single-task-per-key
+    sorted partition — and the flag must come back via a join on
+    event_id, not a second wide window."""
+    routed = run_from_dir(
+        spark, SF, PipelineConfig(repeat_scan_narrow=True)
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    arrow = [
+        line for line in plan.splitlines() if "MapInArrow" in line
+    ]
+    assert arrow, "narrow plan lost the Arrow scan stage"
+    for line in arrow:
+        assert "text#" not in line and "ua#" not in line, line
+
+
 def test_datapipe_pair_plans_never_cartesian(spark):
     from d1_log_aggregation_spark.datapipe import dedup, vectors
     from d1_log_aggregation_spark.datapipe.corpus import load_corpus

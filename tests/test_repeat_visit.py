@@ -125,6 +125,44 @@ def test_flag_repeat_visits_df(spark):
     }
 
 
+def test_narrow_scan_equals_wide_scan(spark):
+    """The narrow_scan (skew) configuration must be payload-identical to
+    the pass-through scan — same flags, same rows — on (a) the crafted
+    semantics vectors and (b) a hot-key burst where one (ip, pid) holds
+    most rows with sub-interval gaps (the skew shape narrow_scan
+    exists for)."""
+    rows = [
+        ("e0", "read", "1.1.1.1", "d1", 0),
+        ("e1", "read", "1.1.1.1", "d1", 5),
+        ("e2", "read", "1.1.1.1", "d1", 29),
+        ("e3", "read", "1.1.1.1", "d1", 31),
+        ("e4", "read", "1.1.1.1", "d1", 35),
+        ("e5", "create", "1.1.1.1", "d1", 36),
+        ("e6", "read", "1.1.1.1", "d2", 3),
+        ("e7", "read", "2.2.2.2", "d1", 4),
+    ] + [
+        # hot key: 200 reads 7 s apart → anchor advances every 5th row
+        (f"h{i}", "read", "9.9.9.9", "hot", 1000 + 7 * i)
+        for i in range(200)
+    ]
+    df = _mk(spark, rows)
+    wide = {
+        r["event_id"]: r["is_repeat_visit"]
+        for r in flag_repeat_visits(df, interval_seconds=30).collect()
+    }
+    narrow = {
+        r["event_id"]: r["is_repeat_visit"]
+        for r in flag_repeat_visits(
+            df, interval_seconds=30, narrow_scan=True
+        ).collect()
+    }
+    assert narrow == wide
+    # spot-check the anchor-advance pattern on the hot burst: with 7 s
+    # spacing and a 31 s window, every 5th row re-anchors
+    assert narrow["h0"] is False and narrow["h5"] is False
+    assert all(narrow[f"h{i}"] for i in (1, 2, 3, 4, 6, 7, 8, 9))
+
+
 def test_non_checked_events_do_not_touch_state(spark):
     # a create between two reads must not re-anchor or count
     rows = [
