@@ -1209,18 +1209,145 @@ ENC_GLEN_MOD = 1_000_000  # (count, length) → count*MOD + length; length < MOD
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, dup_word_frac, top_2gram_frac, dup_5gram_frac).
 
-    Per-document ONLY — no corpus-wide relation: one explode of the
-    tagged {1,2,5}-gram arrays, one partial-aggregating groupBy on
-    (doc_id, k, gram), one per-doc aggregate.  Shuffle key is
-    (doc_id, k, gram) so hot documents spread across their distinct
-    grams; no join, no window, no Python.  The most-frequent-2-gram
-    tie-break is deterministic cross-engine via the integer encoding
-    count*1e6 + length(gram): ties on count resolve to the LONGEST gram
-    (max coverage), not engine-dependent arg-max order.
+    SHUFFLE-FREE: the Gopher repetition signals are per-document, so no
+    exchange is ever required — each gram array is sorted IN PLACE
+    (``array_sort``, JVM-side) and the per-gram counts fall out of one
+    run-length fold (``F.aggregate``) over the sorted array.  The whole
+    operator is a narrow map: at 100 TB it moves ZERO bytes across the
+    network where the exploded formulation shuffles ~4× the corpus
+    token count as (doc_id, k, gram) string rows.  Hot documents are
+    irrelevant by construction (no shuffle key to skew).
+
+    The most-frequent-2-gram tie-break is deterministic cross-engine
+    via the integer encoding count*1e6 + length(gram): ties on count
+    resolve to the LONGEST gram (max coverage), not engine-dependent
+    arg-max order.  ``repetition_stats_exploded`` keeps the
+    explode+groupBy twin for the property test pinning the two plans
+    to identical output.
 
     Reference parity: quality filtering has no analog in
     d1_log_aggregation (log pipeline); this is a training-data-pipeline
     first-class op (SURVEY §2 extension family)."""
+    toks_col = F.filter(
+        F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
+    )
+    with_toks = docs.select("doc_id", F.col(text_col)).withColumn(
+        "_toks", toks_col
+    )
+    n = F.size(F.col("_toks"))
+
+    def grams(k: int) -> Column:
+        if k == 1:
+            return F.col("_toks")
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(F.col("_toks"), i + j) for j in range(k)],
+            ),
+        )
+
+    zero = F.lit(0).cast("long")
+
+    def _run_fold(arr: Column, mode: str) -> Column:
+        """Fold a sorted gram array into one long.
+
+        mode='top':  max over runs of enc = run_len*ENC_GLEN_MOD + len(gram)
+        mode='dup':  sum over runs with run_len>=2 of run_len*len(gram)
+        Accumulator = (prev gram, current run length, closed-run result);
+        a run closes when the next element differs, and the finish
+        lambda closes the final run.
+        """
+
+        def close(prev: Column, run: Column, acc: Column) -> Column:
+            glen = F.length(prev).cast("long")
+            if mode == "top":
+                return F.greatest(acc, run * F.lit(ENC_GLEN_MOD) + glen)
+            return acc + F.when(run >= 2, run * glen).otherwise(zero)
+
+        def step(s: Column, x: Column) -> Column:
+            fresh = F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                s["acc"].alias("acc"),
+            )
+            return (
+                F.when(s["prev"].isNull(), fresh)
+                .when(
+                    x == s["prev"],
+                    F.struct(
+                        s["prev"].alias("prev"),
+                        (s["run"] + F.lit(1).cast("long")).alias("run"),
+                        s["acc"].alias("acc"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        x.alias("prev"),
+                        F.lit(1).cast("long").alias("run"),
+                        close(s["prev"], s["run"], s["acc"]).alias("acc"),
+                    )
+                )
+            )
+
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("acc"),
+        )
+        return F.aggregate(
+            F.array_sort(arr),
+            init,
+            step,
+            lambda s: F.when(s["prev"].isNull(), zero).otherwise(
+                close(s["prev"], s["run"], s["acc"])
+            ),
+        )
+
+    per_doc = with_toks.where(n >= 1).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.length(F.array_join(F.col("_toks"), " ")).cast("long").alias(
+            "chars"
+        ),
+        F.size(F.array_distinct(F.col("_toks"))).cast("long").alias(
+            "n1_distinct"
+        ),
+        _run_fold(grams(2), "top").alias("top2_enc"),
+        _run_fold(grams(5), "dup").alias("dup5_cover"),
+    )
+    top2_cover = F.expr(
+        f"(top2_enc div {ENC_GLEN_MOD}) * (top2_enc % {ENC_GLEN_MOD})"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.col("n_tokens") - F.col("n1_distinct"))
+            / F.col("n_tokens")
+        ).alias("dup_word_frac"),
+        F.coalesce(
+            top2_cover.cast("long") / F.col("chars"), F.lit(0.0)
+        ).alias("top_2gram_frac"),
+        F.least(
+            F.lit(1.0), F.col("dup5_cover") / F.col("chars")
+        ).alias("dup_5gram_frac"),
+    )
+
+
+def repetition_stats_exploded(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Explode+groupBy twin of :func:`repetition_stats` (test oracle).
+
+    One explode of the tagged {1,2,5}-gram arrays, one
+    partial-aggregating groupBy on (doc_id, k, gram), one per-doc
+    aggregate — the formulation the narrow fold replaced.  Kept so the
+    property test can pin the two plans to identical output; the fold
+    version is the production/registry path (zero shuffles vs two)."""
     toks_col = F.filter(
         F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
     )

@@ -651,6 +651,51 @@ def test_repetition_stats_semantics(spark):
         ) == (o[1], o[2], o[3], o[4]), did
 
 
+def test_repetition_stats_fold_matches_exploded_twin(spark):
+    """The shuffle-free run-length-fold plan and the explode+groupBy
+    twin are the same operator: identical output on docs hitting every
+    branch (repeat runs, ties resolved to the longest gram, clamp,
+    single-token, empty), and the fold plan contains NO Exchange —
+    that absence is the point of the rewrite (the exploded plan
+    shuffles every {1,2,5}-gram of the corpus)."""
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        repetition_stats,
+        repetition_stats_exploded,
+    )
+
+    rows = [
+        (1, "x y z w v x y z w v"),
+        (2, "a b c d e a b c d e a b c d e"),
+        (3, "single"),
+        (4, "   "),
+        (5, "all distinct words here today friend"),
+        # count tie between "aa bb" (2×, len 5) and "c c" (2×, len 3):
+        # encoding must pick the LONGEST gram in both plans
+        (6, "aa bb aa bb c c c"),
+        (7, "p " * 600),  # long degenerate run, one distinct token
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        repetition_stats(docs).collect(), key=lambda r: r["doc_id"]
+    )
+    b = sorted(
+        repetition_stats_exploded(docs).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert len(a) == len(b) == 6
+    for ra, rb in zip(a, b):
+        assert ra["doc_id"] == rb["doc_id"]
+        for c in (
+            "n_tokens", "dup_word_frac", "top_2gram_frac",
+            "dup_5gram_frac",
+        ):
+            assert abs((ra[c] or 0) - (rb[c] or 0)) < 1e-12, (
+                ra["doc_id"], c,
+            )
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
 def test_winnow_fingerprints_guarantees(spark):
     """Winnowing invariants (Schleimer et al. 2003): (1) coverage — the
     gap between consecutive selected positions is < w, so every window
