@@ -269,6 +269,17 @@ def kmeans_centroids(
         )
     spark = embeddings.sparkSession
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    # Persist the quantized corpus for the training loop: every
+    # iteration reads base THREE times (the assign scorer pass, and
+    # both sides of the rank-1-back join), so without this the loop
+    # re-decodes parquet and re-quantizes 3·n_iters + 1 times.  Same
+    # practice as MLlib KMeans (which caches its input); MEMORY_AND_DISK
+    # spills rather than OOMs when the corpus outgrows executor memory,
+    # and at scales where even spill is unattractive the scratch_dir
+    # materializers (corpus_deduped_lsh pattern) are the alternative.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cent_rows = _seed_centroid_rows(base, n_centroids)
     for _ in range(n_iters):
         assign = _assign(base, cent_rows)
@@ -302,6 +313,9 @@ def kmeans_centroids(
             )
             for cid, qv, _qn in cent_rows
         ]
+    # the returned relation is a driver-side literal — it does not
+    # depend on base, so the training cache can go immediately
+    base.unpersist(blocking=False)
     return spark.createDataFrame(
         [(cid, qv, qn) for cid, qv, qn in cent_rows],
         "centroid_id long, qv_c array<long>, qn_b long",
