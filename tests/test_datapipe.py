@@ -696,6 +696,64 @@ def test_repetition_stats_fold_matches_exploded_twin(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_repetition_stats_fold_matches_python_model(spark):
+    """200 seeded random docs from a tiny vocabulary (forcing heavy
+    {1,2,5}-gram collisions) against an INDEPENDENT pure-Python model of
+    the Gopher signals — unlike the exploded-twin test, this oracle
+    shares no Spark plan, so a bug common to both Spark formulations
+    (tokenization, tie-break encoding, clamp) cannot hide.  Float
+    comparisons are exact: both sides divide the same int64 pairs."""
+    import random
+    from collections import Counter
+
+    from d1_log_aggregation_spark.datapipe.textstats import (
+        ENC_GLEN_MOD,
+        repetition_stats,
+    )
+
+    rng = random.Random(60309)
+    vocab = ["a", "bb", "ccc", "dd", "e", "fff", "g", "hh"]
+    rows = []
+    for did in range(200):
+        m = rng.randint(0, 40)
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(m))))
+
+    def model(text):
+        toks = [t for t in text.strip().lower().split() if t]
+        if not toks:
+            return None
+        n = len(toks)
+        chars = len(" ".join(toks))
+        dup_word = (n - len(set(toks))) / n
+        g2 = Counter(
+            " ".join(toks[i : i + 2]) for i in range(n - 1)
+        )
+        top2_enc = max(
+            (c * ENC_GLEN_MOD + len(g) for g, c in g2.items()), default=0
+        )
+        top2 = (top2_enc // ENC_GLEN_MOD) * (top2_enc % ENC_GLEN_MOD)
+        g5 = Counter(
+            " ".join(toks[i : i + 5]) for i in range(n - 4)
+        )
+        cover = sum(c * len(g) for g, c in g5.items() if c >= 2)
+        return (
+            n, dup_word, top2 / chars, min(1.0, cover / chars),
+        )
+
+    expected = {
+        did: model(text) for did, text in rows if model(text) is not None
+    }
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert set(got) == set(expected)
+    for did, (n, dw, t2, d5) in expected.items():
+        r = got[did]
+        assert (
+            r["n_tokens"], r["dup_word_frac"], r["top_2gram_frac"],
+            r["dup_5gram_frac"],
+        ) == (n, dw, t2, d5), did
+
+
 def test_winnow_fingerprints_guarantees(spark):
     """Winnowing invariants (Schleimer et al. 2003): (1) coverage — the
     gap between consecutive selected positions is < w, so every window
