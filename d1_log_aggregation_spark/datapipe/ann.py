@@ -277,9 +277,18 @@ def kmeans_centroids(
     # spills rather than OOMs when the corpus outgrows executor memory,
     # and at scales where even spill is unattractive the scratch_dir
     # materializers (corpus_deduped_lsh pattern) are the alternative.
+    # OWNERSHIP CHECK: callers like semdedup persist this exact logical
+    # plan themselves — Spark's CacheManager keys on the plan, so a
+    # persist here would no-op against their entry and the unpersist
+    # below would EVICT it out from under them (observed as the caller's
+    # downstream joins silently reverting to raw re-scans).  Only manage
+    # the cache when nobody else already does.
     from pyspark import StorageLevel
 
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    lvl = base.storageLevel
+    owns_cache = not (lvl.useMemory or lvl.useDisk)
+    if owns_cache:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cent_rows = _seed_centroid_rows(base, n_centroids)
     for _ in range(n_iters):
         assign = _assign(base, cent_rows)
@@ -314,8 +323,17 @@ def kmeans_centroids(
             for cid, qv, _qn in cent_rows
         ]
     # the returned relation is a driver-side literal — it does not
-    # depend on base, so the training cache can go immediately
-    base.unpersist(blocking=False)
+    # depend on base, so the training cache can go immediately (only
+    # if this function created it — see the ownership check above).
+    # BLOCKING on purpose: with an async drop, a caller building its
+    # own scoring pass over the same logical subtree in the next few
+    # milliseconds gets InMemoryRelation nodes substituted into its
+    # plan and then loses the cache under it — functionally fine
+    # (InMemoryRelation recomputes from its child) but the plan shape
+    # becomes a race.  The blocking drop costs one RPC round and keeps
+    # every post-training plan a deterministic raw-scan plan.
+    if owns_cache:
+        base.unpersist(blocking=True)
     return spark.createDataFrame(
         [(cid, qv, qn) for cid, qv, qn in cent_rows],
         "centroid_id long, qv_c array<long>, qn_b long",
