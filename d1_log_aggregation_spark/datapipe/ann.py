@@ -505,7 +505,19 @@ def ivf_topk(
     so the probe and assignment plans reuse it without re-running the
     k-means lineage."""
     spark = embeddings.sparkSession
-    base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
+    # Caller-owned cache (the semdedup pattern): registering the entry
+    # BEFORE training means kmeans_centroids detects it, trains against
+    # it, and leaves it alive for the assignment and probe plans below —
+    # one quantization pass feeds the whole operator.  Session-scoped by
+    # design (the CacheManager keys on the plan; clearCache or the
+    # session end reclaims it).
+    from pyspark import StorageLevel
+
+    base = (
+        with_qvec(embeddings)
+        .select("vec_id", "qvec", "qnorm2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     trained = kmeans_centroids(embeddings, n_centroids, n_iters).collect()
     cent_rows = [
         (r["centroid_id"], list(r["qv_c"]), r["qn_b"]) for r in trained
