@@ -114,6 +114,12 @@ def read_transcripts_xml(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .option("timestampFormat", TS_FORMAT)
+        # Spark 4's XML source defaults ignoreSurroundingSpaces=true,
+        # which would silently trim leading/trailing whitespace (and
+        # null out whitespace-only values) on read — breaking the
+        # byte-equal round-trip contract with the parquet transcripts
+        # (ADVICE r6).  Landing-zone text is payload, not markup.
+        .option("ignoreSurroundingSpaces", "false")
         .load(path)
     )
     return _split(raw)

@@ -115,6 +115,38 @@ def test_xml_round_trip_preserves_transcripts(spark, tmp_path):
     assert a == b
 
 
+def test_xml_round_trip_preserves_surrounding_whitespace(spark, tmp_path):
+    """ADVICE r6: Spark 4's XML source defaults
+    ignoreSurroundingSpaces=true, silently trimming padded values (and
+    nulling whitespace-only text) — invisible to the generated corpus,
+    which has no padded values.  Pin the byte-equal contract on rows the
+    generator never produces: leading/trailing spaces, whitespace-only
+    text, and tab/newline padding."""
+    rows = [
+        ("c1", 0, "user", "  leading and trailing  ", " padded_tool ",
+         dt.datetime(2024, 1, 1, 12, 0, 0, 123456)),
+        ("c1", 1, "assistant", "   ", None,
+         dt.datetime(2024, 1, 1, 12, 0, 1, 1)),
+        ("c1", 2, "user", "\tტაბ and newline\n", None,
+         dt.datetime(2024, 1, 1, 12, 0, 2, 0)),
+    ]
+    src = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp"
+    )
+    out = str(tmp_path / "xmws")
+    sources.write_transcripts_xml(src, out)
+    good, dlq = sources.read_transcripts_xml(spark, out)
+    assert dlq.count() == 0
+    got = sorted(
+        tuple(r)
+        for r in good.select(
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"
+        ).collect()
+    )
+    assert got == sorted(rows)
+
+
 def test_jsonl_round_trip_preserves_transcripts(spark, tmp_path):
     """Full-table round trip at sf0.001 (the gate does sf0.01): good
     side reproduces every row, DLQ side is empty."""
