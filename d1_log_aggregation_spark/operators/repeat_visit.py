@@ -178,6 +178,43 @@ def scan_flags_vectorized(
     return out, (a_final, True, int(t[-1]))
 
 
+def choose_narrow_scan(
+    df: DataFrame,
+    sample_mod: int = 100,
+    hot_threshold: float = 0.05,
+    min_sample_rows: int = 1000,
+) -> bool:
+    """Data-statistics selector for the repeat-visit scan shape (VERDICT
+    r6 item 5): pick the narrow (hot-key) configuration when one
+    (ip, pid) key concentrates more than ``hot_threshold`` of the rows.
+
+    Cheap pre-pass, never a full scan: a DETERMINISTIC hash sample
+    (xxhash64(conv_id, turn_idx) % sample_mod == 0 — rand() would make
+    the plan choice non-reproducible) feeds one narrow groupBy on the
+    scan key, and a single (max, sum) agg collapses it to a 2-value
+    collect.  At 100 TB this reads two parsed columns of ~1% of the
+    rows — the same order of work AQE's runtime statistics cost — and
+    Catalyst prunes everything else off the sample scan.
+
+    Small samples stay on the wide default: below ``min_sample_rows``
+    the hot-fraction estimate is noise, and the wide scan is the
+    correct choice for small inputs anyway (narrow costs an extra
+    shuffle — bench --skew's measured trade-off)."""
+    sample = df.filter(
+        F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")),
+               F.lit(sample_mod)) == 0
+    )
+    top = (
+        sample.groupBy("ip", "pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("hot"), F.sum("c").alias("n"))
+        .first()
+    )
+    if top is None or top["n"] is None or top["n"] < min_sample_rows:
+        return False
+    return top["hot"] / top["n"] > hot_threshold
+
+
 def flag_repeat_visits(
     df: DataFrame,
     interval_seconds: int = DEFAULT_INTERVAL_SECONDS,
@@ -227,7 +264,33 @@ def flag_repeat_visits(
         keep = ["event_id", "is_repeat_visit"] + (
             ["geohash_9"] if do_geo else []
         )
-        return df.join(flagged.select(*keep), "event_id")
+        # PRECONDITION (ADVICE r6): the join-back key must be non-null
+        # and unique — run_pipeline guarantees it (event_id =
+        # conv_id.turn_idx post-dedup), but this is a public operator
+        # and the two scan shapes are documented payload-identical.  A
+        # left join keeps every input row; the scan side always emits a
+        # non-null flag, so a null flag after the join ⇔ a null
+        # event_id that could never match.  The guard GATES the flag
+        # expression itself (an unused check column would be pruned;
+        # see dedup.py:852) and raises with the actionable message
+        # instead of silently dropping the row.  Duplicate event_ids
+        # would still fan out — that half stays documented, not
+        # enforced (detecting it in-plan costs an aggregation the hot
+        # path shouldn't pay).
+        joined = df.join(flagged.select(*keep), "event_id", "left")
+        guarded = F.when(
+            F.col("is_repeat_visit").isNotNull(), F.col("is_repeat_visit")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "flag_repeat_visits(narrow_scan=True) requires a"
+                    " non-null unique event_id to join the flag back —"
+                    " got a null event_id row; use the default wide"
+                    " scan for keyless frames"
+                )
+            ).cast("boolean")
+        )
+        return joined.withColumn("is_repeat_visit", guarded)
     return _flag_core(
         df, interval_seconds, events_to_check, order_tiebreak, fuse_geohash
     )

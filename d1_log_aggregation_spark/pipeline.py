@@ -65,8 +65,11 @@ class PipelineConfig:
     # hot (ip, pid) keys: scan only the ~30 B/row scan columns in the
     # single-task-per-key sorted window and hash-join the flag back on
     # the uniform event_id (narrow_scan in operators/repeat_visit.py);
-    # costs an extra wide shuffle, so OFF for uniform traffic
-    repeat_scan_narrow: bool = False
+    # costs an extra wide shuffle, so OFF for uniform traffic.
+    # "auto" (VERDICT r6 item 5): a deterministic ~1% hash-sample
+    # pre-pass measures the hottest (ip, pid) fraction and picks narrow
+    # past choose_narrow_scan's threshold — see operators/repeat_visit.
+    repeat_scan_narrow: bool | str = False
 
 
 # Routed-row output schema (the LogEntrySolrItem analog, §1.2/§1.3).
@@ -115,12 +118,20 @@ def run_pipeline(
         )
     else:
         df = enrich_registry(df, registry)
+    narrow = cfg.repeat_scan_narrow
+    if narrow == "auto":
+        # one tiny sampled pre-pass job (deterministic hash sample; two
+        # pruned columns) decides the scan shape from the data's actual
+        # hot-key fraction instead of a manual config
+        from .operators.repeat_visit import choose_narrow_scan
+
+        narrow = choose_narrow_scan(df)
     df = flag_repeat_visits(
         df,
         interval_seconds=cfg.repeat_visit_interval_seconds,
         events_to_check=cfg.events_to_check,
         fuse_geohash=cfg.with_geohash,
-        narrow_scan=cfg.repeat_scan_narrow,
+        narrow_scan=bool(narrow),
     )
     robot_ranges = None
     if cfg.do_robot_ip_check and cfg.robot_ip_via_join:

@@ -173,3 +173,57 @@ def test_non_checked_events_do_not_touch_state(spark):
     out = flag_repeat_visits(_mk(spark, rows), interval_seconds=30)
     got = {r["event_id"]: r["is_repeat_visit"] for r in out.collect()}
     assert got == {"e0": False, "e1": False, "e2": True}
+
+
+def test_narrow_scan_null_event_id_raises_not_drops(spark):
+    """ADVICE r6: the old inner join-back silently DROPPED null-event_id
+    rows from the narrow configuration while the wide path kept them.
+    Now the narrow path keeps every row (left join) and the flag guard
+    raises the documented precondition error instead of silently
+    diverging from the wide scan."""
+    import pytest
+
+    rows = [
+        ("e0", "read", "1.1.1.1", "d1", 0),
+        (None, "read", "1.1.1.1", "d1", 5),
+    ]
+    df = _mk(spark, rows)
+    # wide path: keyless rows are fine (the scan never touches event_id)
+    wide = flag_repeat_visits(df, interval_seconds=30)
+    assert wide.count() == 2
+    narrow = flag_repeat_visits(df, interval_seconds=30, narrow_scan=True)
+    with pytest.raises(Exception) as ei:
+        narrow.collect()
+    assert "non-null unique event_id" in str(ei.value)
+
+
+def test_choose_narrow_scan_selector(spark):
+    """VERDICT r6 item 5: the scan-shape selector picks narrow on a
+    hot-key fixture (one (ip,pid) holding ~35% of rows) and wide on
+    uniform traffic — and respects the small-sample floor."""
+    from d1_log_aggregation_spark.operators.repeat_visit import (
+        choose_narrow_scan,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (f"c{i}", i, ip, pid)
+                for i, (ip, pid) in enumerate(rows)
+            ],
+            "conv_id string, turn_idx int, ip string, pid string",
+        )
+
+    uniform = mk([(f"10.0.{i//250}.{i%250}", f"d{i}") for i in range(2000)])
+    hot = mk(
+        [("9.9.9.9", "hot")] * 700
+        + [(f"10.0.{i//250}.{i%250}", f"d{i}") for i in range(1300)]
+    )
+    # sample_mod=1 → the "sample" is the whole fixture (deterministic)
+    assert choose_narrow_scan(uniform, sample_mod=1,
+                              min_sample_rows=100) is False
+    assert choose_narrow_scan(hot, sample_mod=1,
+                              min_sample_rows=100) is True
+    # below the sample floor the estimate is noise → wide default
+    assert choose_narrow_scan(hot, sample_mod=1,
+                              min_sample_rows=10_000) is False
