@@ -502,6 +502,7 @@ def corpus_deduped(
     threshold: float = 0.5,
     max_shingle_df: int = MAX_SHINGLE_DF,
     scratch_dir: str | None = None,
+    lineage_persist: bool = False,
 ) -> DataFrame:
     """The deduplicated corpus (doc_id, text) under min-canonical
     survivorship: a document is dropped iff it has an exact duplicate or a
@@ -523,12 +524,31 @@ def corpus_deduped(
     under scratch_dir — use a FRESH scratch_dir per call (or materialize
     the result first); a second call over the same dir overwrites them.
 
-    Without scratch_dir (exploratory sessions), the input is persisted
-    (MEMORY_AND_DISK): the loser computation and the anti-join reference
-    ``docs`` several times, and Catalyst re-executes un-cached subtrees
-    per reference (the r2 plan audit counted 250 scans without the
-    caches).  The caches live until session end — long-lived drivers
-    should pass scratch_dir or clear the cache between calls."""
+    DEFAULT (VERDICT r6 item 8): ``scratch_dir=None`` AUTO-ALLOCATES a
+    scratch directory and takes the materialized path — nobody reaches
+    the lineage-persist plan (40 exchanges / 88 scans in PLANS.md's r6
+    audit) by accident.  The auto dir is registered session-wide;
+    ``release_dedup_scratch()`` reclaims the disk once results are
+    materialized (bench/tests that loop should pass their own tracked
+    scratch_dir, as before).
+
+    ``lineage_persist=True`` is the EXPLICIT test-only escape hatch
+    (plan-shape tests, environments with no writable scratch): input
+    persisted MEMORY_AND_DISK, loser computation and anti-join re-read
+    the cached relation, caches live until session end."""
+    if lineage_persist:
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        losers = dedup_losers(docs, text_col, threshold, max_shingle_df)
+        return docs.join(losers, "doc_id", "left_anti").select(
+            "doc_id", text_col
+        )
+    if scratch_dir is None:
+        import tempfile
+
+        scratch_dir = tempfile.mkdtemp(prefix="corpus_dedup_scratch_")
+        _DEDUP_SCRATCH_DIRS.append(scratch_dir)
     if scratch_dir is not None:
         spark = docs.sparkSession
         write_shingle_index(docs, f"{scratch_dir}/shingle_index", text_col)
@@ -541,13 +561,25 @@ def corpus_deduped(
         return docs.join(losers, "doc_id", "left_anti").select(
             "doc_id", text_col
         )
-    from pyspark import StorageLevel
+    raise AssertionError("unreachable: scratch_dir is always set here")
 
-    docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    losers = dedup_losers(docs, text_col, threshold, max_shingle_df)
-    return docs.join(losers, "doc_id", "left_anti").select(
-        "doc_id", text_col
-    )
+
+# Auto-allocated corpus_deduped scratch dirs (see corpus_deduped default
+# path).  Session-scoped; results stay lazily bound to these files, so
+# reclaim only after materializing.
+_DEDUP_SCRATCH_DIRS: list[str] = []
+
+
+def release_dedup_scratch() -> int:
+    """Remove every auto-allocated corpus_deduped scratch dir; returns
+    how many were removed.  Call after the returned frames have been
+    written/collected — the plans read these files lazily."""
+    import shutil
+
+    n = len(_DEDUP_SCRATCH_DIRS)
+    while _DEDUP_SCRATCH_DIRS:
+        shutil.rmtree(_DEDUP_SCRATCH_DIRS.pop(), ignore_errors=True)
+    return n
 
 
 def corpus_deduped_lsh(

@@ -539,6 +539,104 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
 """
 
 
+def ivf_topk_bigk_sql(
+    n_queries: int = 8,
+    k: int = 5,
+    n_fine: int = 256,
+    n_coarse: int = 16,
+    nprobe_coarse: int = 2,
+    nprobe_fine: int = 8,
+) -> str:
+    """Twin of ann.ivf_topk_bigk (two-level seeded coarse/fine
+    quantizer).  The oracle side expresses the SAME candidate structure
+    as joins; at oracle scale the bucketed joins are cheap either way."""
+    cos = (
+        lambda qa, qb, a, b: f"round(cast({_qdot(a, b)} AS bigint)"
+        f" / sqrt(cast({qa} AS double) * cast({qb} AS double)), 9)"
+    )
+    return f"""
+WITH {_ann_base()},
+coarse AS (
+  SELECT vec_id AS coarse_id, qvec AS qv_c, qnorm2 AS qn_c
+  FROM base2 WHERE vec_id < {n_coarse}
+),
+fine AS (
+  SELECT vec_id AS fine_id, qvec AS qv_f, qnorm2 AS qn_f
+  FROM base2 WHERE vec_id < {n_fine}
+),
+fine_cells AS (
+  SELECT fine_id, coarse_id FROM (
+    SELECT f.fine_id, c.coarse_id,
+           row_number() OVER (
+             PARTITION BY f.fine_id
+             ORDER BY {cos('f.qn_f', 'c.qn_c', 'f.qv_f', 'c.qv_c')} DESC,
+                      c.coarse_id ASC
+           ) AS r
+    FROM fine f CROSS JOIN coarse c
+  ) WHERE r = 1
+),
+vprobe AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT b.vec_id, c.coarse_id,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {cos('b.qnorm2', 'c.qn_c', 'b.qvec', 'c.qv_c')} DESC,
+                      c.coarse_id ASC
+           ) AS r
+    FROM base2 b CROSS JOIN coarse c
+  ) WHERE r <= {nprobe_coarse}
+),
+assign AS (
+  SELECT vec_id, fine_id FROM (
+    SELECT v.vec_id, f.fine_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos('b.qnorm2', 'f.qn_f', 'b.qvec', 'f.qv_f')} DESC,
+                      f.fine_id ASC
+           ) AS r
+    FROM vprobe v
+    JOIN fine_cells fc ON fc.coarse_id = v.coarse_id
+    JOIN fine f ON f.fine_id = fc.fine_id
+    JOIN base2 b ON b.vec_id = v.vec_id
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, qvec AS qv_q, qnorm2 AS qn_a
+  FROM base2 WHERE vec_id < {n_queries}
+),
+qprobe_fine AS (
+  SELECT query_id, fine_id FROM (
+    SELECT v.vec_id AS query_id, f.fine_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos('q.qn_a', 'f.qn_f', 'q.qv_q', 'f.qv_f')} DESC,
+                      f.fine_id ASC
+           ) AS r
+    FROM vprobe v
+    JOIN fine_cells fc ON fc.coarse_id = v.coarse_id
+    JOIN fine f ON f.fine_id = fc.fine_id
+    JOIN q ON q.query_id = v.vec_id
+    WHERE v.vec_id < {n_queries}
+  ) WHERE r <= {nprobe_fine}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {cos('q.qn_a', 'b.qnorm2', 'q.qv_q', 'b.qvec')} AS cosine
+  FROM qprobe_fine p
+  JOIN assign a ON a.fine_id = p.fine_id
+  JOIN base2 b ON b.vec_id = a.vec_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {k}
+"""
+
+
 # ---- embedding-cosine near-dup ----------------------------------------------
 
 def _vec_base_cte() -> str:
