@@ -429,6 +429,81 @@ def _q_checkpoint_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_harvest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-harvest resume oracle (VERDICT r6 item 7): harvest 1
+    covers the ts-prefix up to a deterministic cutoff (min + 60% of the
+    span, integer µs math both engines share), its checkpoint is
+    COMMITTED through the real write_checkpoint/read_checkpoint JSON
+    round trip, and harvest 2 over the full (appended) corpus runs
+    checkpoint.filter_new — the reference's ``logLastAggregated``
+    semantics (LogHarvesterTask.java:189-204, advanced at :493-496;
+    NodeRegistryLogAggregationFacade.java:31-108).  Output: per-bucket
+    (cp watermark, delta count, first delta ts) — the value oracle
+    asserts the routed delta is EXACTLY the suffix (min_delta_ts_us >
+    cp_max_ts_us by construction) and that the watermark advanced."""
+    import os
+    import tempfile
+
+    from d1_log_aggregation_spark import checkpoint as cp
+
+    t = load_transcripts(spark, sf_dir)
+    us = cp.ts_micros(F.col("ts"))
+    lo, hi = t.agg(F.min(us), F.max(us)).first()
+    cutoff = lo + (hi - lo) * 6 // 10
+    first = t.filter(cp.ts_micros(F.col("ts")) <= F.lit(cutoff))
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="harvest_cp_"), "checkpoint.json"
+    )
+    cp.write_checkpoint(first, path, run_id="run-1",
+                        source_snapshot_id="snap-1")
+    delta = cp.filter_new(spark, t, path)
+    dagg = (
+        delta.withColumn("bucket", cp.bucket_col())
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.min(cp.ts_micros(F.col("ts"))).alias("min_delta_ts_us"),
+        )
+    )
+    cps = spark.createDataFrame(
+        [(r["bucket"], r["max_ts_us"]) for r in cp.read_checkpoint(path)],
+        "bucket int, cp_max_ts_us long",
+    )
+    return dagg.join(cps, "bucket", "full").select(
+        "bucket", "cp_max_ts_us", "n_delta", "min_delta_ts_us"
+    )
+
+
+def _harvest_incremental_sql() -> str:
+    from d1_log_aggregation_spark.checkpoint import bucket_sql
+    from d1_log_aggregation_spark.transcripts import transcripts_sql
+
+    b = bucket_sql("conv_id")
+    return f"""
+WITH tr AS ({transcripts_sql()}),
+bounds AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM tr
+),
+cutoff AS (SELECT lo + (hi - lo) * 6 // 10 AS t_cut FROM bounds),
+cp AS (
+  SELECT {b} AS bucket, max(epoch_us(ts)) AS cp_max_ts_us
+  FROM tr, cutoff WHERE epoch_us(ts) <= t_cut GROUP BY 1
+),
+keyed AS (SELECT tr.*, {b} AS bucket FROM tr),
+delta AS (
+  SELECT k.* FROM keyed k LEFT JOIN cp USING (bucket)
+  WHERE cp.cp_max_ts_us IS NULL OR epoch_us(k.ts) > cp.cp_max_ts_us
+),
+dagg AS (
+  SELECT bucket, cast(count(*) AS bigint) AS n_delta,
+         min(epoch_us(ts)) AS min_delta_ts_us
+  FROM delta GROUP BY bucket
+)
+SELECT bucket, cp_max_ts_us, n_delta, min_delta_ts_us
+FROM dagg FULL JOIN cp USING (bucket)
+"""
+
+
 def _q_convs_without_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-ops analog of the scheduler's job reconciliation
     (CollectionUtils.subtract → left_anti, SURVEY §2.6): conversations
@@ -619,6 +694,19 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_ann.ivf_topk(_embs(spark, sf_dir))
 
 
+def _q_ann_ivf_bigk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-nlist IVF (VERDICT r6 item 2): the fine centroid set is a
+    joined RELATION — no MAX_CENTROIDS closure ceiling — assigned
+    through a coarse quantizer bucketed join.  Gate params keep the
+    oracle cheap; the pytest drives n_fine past MAX_CENTROIDS to prove
+    the ceiling is gone, and bench --datapipe-scale measures the ×16
+    growth leg."""
+    return dp_ann.ivf_topk_bigk(
+        _embs(spark, sf_dir), n_fine=256, n_coarse=16,
+        nprobe_coarse=2, nprobe_fine=8,
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the second bucketed variant next to IVF):
     sign-sketch bands as hash buckets, exact-cosine rank of bucket
@@ -768,6 +856,14 @@ def _q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.merge_pair_counts(_docs(spark, sf_dir), k=50)
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterated BPE tokenizer-training loop (VERDICT r6 item 6):
+    8 merge rounds over the word-frequency vocabulary — driver loop,
+    vocabulary-sized aggregates only, deterministic (count desc, left
+    asc, right asc) tie-break shared with the unrolled DuckDB twin."""
+    return dp_text.bpe_merges(_docs(spark, sf_dir), n_merges=8)
 
 
 def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,24 +1117,74 @@ def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    FIRST 50 entries.  Round-6 rotation (VERDICT r5 item 4 — keep the
-    "union of the last two CORRECTNESS files covers the full registry"
-    invariant): the window holds (a) the one query new this round
-    (transcripts_xml) and (b) ALL 49 entries whose latest driver row is
-    r4 (i.e. exactly the entries CORRECTNESS_r05 did NOT cover —
-    verified against the committed artifact when this order was set, so
-    r5 ∪ r6 = the full 100-entry registry).  The 50 entries past the
-    window all have a driver-green ROUND-5 row and are re-swept every
-    pytest run by tests/test_oracle_gate.py plus the committed SWEEP
-    artifact."""
+    FIRST 50 entries.  Round-7 rotation (the "union of the last two
+    CORRECTNESS files covers the registry" invariant): the window holds
+    (a) the three queries NEW this round (ann_ivf_bigk, bpe_merges,
+    harvest_incremental) and (b) 47 of the 50 entries whose latest
+    driver row is r5 (exactly the set CORRECTNESS_r06 did NOT cover).
+    The registry grew to 103 while the driver window stays 50, so three
+    r5-latest entries no longer fit: vocab_topk / top_pids_per_role /
+    role_event_pivot (chosen because they are simple single-agg SQL
+    untouched since r5) sit LAST, stay green in every pytest oracle-gate
+    run and the committed SWEEP artifact, and go FIRST in round 8's
+    window.  Entries 51-100 are the round-6 driver-green set."""
     return {
-        # --- new in round 6 ----------------------------------------------
+
+        # --- new in round 7 ----------------------------------------------
+        "ann_ivf_bigk": _q_ann_ivf_bigk,
+        "bpe_merges": _q_bpe_merges,
+        "harvest_incremental": _q_harvest_incremental,
+        # --- rotated in: entries whose latest driver row is r5 ------------
+        "paragraph_dedup": _q_paragraph_dedup,
+        "entropy_stats": _q_entropy_stats,
+        "lm_perplexity": _q_lm_perplexity,
+        "corpus_mix": _q_corpus_mix,
+        "dsir_weights": _q_dsir_weights,
+        "dup_ngram_stats": _q_dup_ngram_stats,
+        "semdedup": _q_semdedup,
+        "filter_funnel": _q_filter_funnel,
+        "token_fertility": _q_token_fertility,
+        "ann_recall_audit": _q_ann_recall_audit,
+        "dup_rate_by_segment": _q_dup_rate_by_segment,
+        "conv_integrity": _q_conv_integrity,
+        "conv_checksums": _q_conv_checksums,
+        "containment_pairs": _q_containment_pairs,
+        "multimodal_video_frames": _q_multimodal_video,
+        "multimodal_resized": _q_multimodal_resized,
+        "tool_pmi": _q_tool_pmi,
+        "repetition_stats": _q_repetition_stats,
+        "split_leakage": _q_split_leakage,
+        "enrich_geo_range": _q_enrich_geo_range,
+        "robot_flags_fullscale": _q_robot_flags_fullscale,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "approx_distinct_subjects": _q_approx_distinct_subjects,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ann_bruteforce_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        "multimodal_features": _q_multimodal,
+        "embedding_neardup_pairs": _q_embedding_neardup,
+        "embedding_neardup_bruteforce": _q_embedding_neardup_brute,
+        "session_stats": _q_session_stats,
+        "corpus_sample": _q_corpus_sample,
+        "corpus_sample_stratified": _q_corpus_sample_stratified,
+        "shard_stats": _q_shard_stats,
+        "pack_manifest": _q_pack_manifest,
+        "dedup_cap_stats": _q_dedup_cap_stats,
+        "contamination_flags": _q_contamination_flags,
+        "dedup_components": _q_dedup_components,
+        "component_representatives": _q_component_reps,
+        "scrub_text": _q_scrub_text,
+        "dedup_against": _q_dedup_against,
+        "doc_keywords": _q_doc_keywords,
+        "robot_rate_daily": _q_robot_rate_daily,
+        "user_retention": _q_user_retention,
+        "sink_role_rollup": _q_sink_role_rollup,
+        # --- past the driver's 50-entry window: driver-green in ROUND 6
+        # --- (CORRECTNESS_r06.json); pytest + SWEEP re-verify every run ----
         "transcripts_xml": _q_transcripts_xml,
-        # --- rotated in: every entry whose latest driver row is r4 --------
-        # (pipeline core first — routed_rows subsumes the transcripts→
-        # dedup→parse→classify→enrich lineage; sink_counts is the
-        # north-rule headline; repeat_visits is the custom stateful W1
-        # op; three streaming rows keep §2.8 driver-checked) ---------------
         "routed_rows": _q_routed_rows,
         "sink_counts": _q_sink_counts,
         "repeat_visits": _q_repeat_visits,
@@ -1088,58 +1234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_deduped": _q_corpus_deduped,
         "training_corpus": _q_training_corpus,
         "minhash_signatures": _q_minhash_sigs,
-        # --- past the driver's 50-entry window: ALL driver-green in
-        # --- ROUND 5 (CORRECTNESS_r05.json); full-registry pytest +
-        # --- SWEEP re-verify them every run --------------------------------
-        "paragraph_dedup": _q_paragraph_dedup,
-        "entropy_stats": _q_entropy_stats,
-        "lm_perplexity": _q_lm_perplexity,
-        "corpus_mix": _q_corpus_mix,
-        "dsir_weights": _q_dsir_weights,
-        "dup_ngram_stats": _q_dup_ngram_stats,
-        "semdedup": _q_semdedup,
-        "filter_funnel": _q_filter_funnel,
-        "token_fertility": _q_token_fertility,
-        "ann_recall_audit": _q_ann_recall_audit,
-        "dup_rate_by_segment": _q_dup_rate_by_segment,
-        "conv_integrity": _q_conv_integrity,
-        "conv_checksums": _q_conv_checksums,
-        "containment_pairs": _q_containment_pairs,
-        "multimodal_video_frames": _q_multimodal_video,
-        "multimodal_resized": _q_multimodal_resized,
-        "tool_pmi": _q_tool_pmi,
-        "repetition_stats": _q_repetition_stats,
-        "split_leakage": _q_split_leakage,
-        "enrich_geo_range": _q_enrich_geo_range,
-        "robot_flags_fullscale": _q_robot_flags_fullscale,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "approx_distinct_subjects": _q_approx_distinct_subjects,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_bruteforce_topk": _q_ann_brute,
-        "ann_lsh_topk": _q_ann_lsh,
-        "minhash_lsh_pairs": _q_minhash_pairs,
-        "simhash": _q_simhash,
-        "simhash_pairs": _q_simhash_pairs,
-        "multimodal_features": _q_multimodal,
-        "embedding_neardup_pairs": _q_embedding_neardup,
-        "embedding_neardup_bruteforce": _q_embedding_neardup_brute,
-        "session_stats": _q_session_stats,
-        "corpus_sample": _q_corpus_sample,
-        "corpus_sample_stratified": _q_corpus_sample_stratified,
-        "shard_stats": _q_shard_stats,
-        "pack_manifest": _q_pack_manifest,
-        "dedup_cap_stats": _q_dedup_cap_stats,
-        "contamination_flags": _q_contamination_flags,
-        "dedup_components": _q_dedup_components,
-        "component_representatives": _q_component_reps,
-        "scrub_text": _q_scrub_text,
+        # --- r5-green, deferred to the FRONT of round 8's window ----------
         "vocab_topk": _q_vocab_topk,
-        "dedup_against": _q_dedup_against,
         "top_pids_per_role": _q_top_pids_per_role,
-        "doc_keywords": _q_doc_keywords,
-        "robot_rate_daily": _q_robot_rate_daily,
-        "user_retention": _q_user_retention,
-        "sink_role_rollup": _q_sink_role_rollup,
         "role_event_pivot": _q_role_event_pivot,
     }
 
@@ -1186,6 +1283,11 @@ def oracle_sql() -> dict[str, str]:
             "simhash_pairs": dp_oracle.simhash_pairs_sql(3),
             "ann_bruteforce_topk": dp_oracle.brute_force_topk_sql(),
             "ann_ivf_topk": dp_oracle.ivf_topk_sql(),
+            "ann_ivf_bigk": dp_oracle.ivf_topk_bigk_sql(
+                n_fine=256, n_coarse=16, nprobe_coarse=2, nprobe_fine=8
+            ),
+            "bpe_merges": dp_text.bpe_merges_sql(n_merges=8),
+            "harvest_incremental": _harvest_incremental_sql(),
             "ann_recall_audit": dp_oracle.recall_audit_sql(),
             "ann_lsh_topk": dp_oracle.lsh_topk_sql(),
             "embedding_neardup_bruteforce":

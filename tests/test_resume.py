@@ -264,3 +264,29 @@ def test_iceberg_runtime_detection_routes_the_write(spark, tmp_path):
     # default (no table requested) stays on the parquet protocol
     entry2 = writer.write_snapshot(df, base, "r2")
     assert entry2["engine"] == "parquet"
+
+
+def test_harvest_incremental_query_is_exactly_the_suffix(spark):
+    """VERDICT r6 item 7: the registry query's contract, pinned without
+    the oracle — every per-bucket delta starts STRICTLY after that
+    bucket's committed watermark, the per-bucket delta counts sum to
+    exactly the rows above the cutoff (delta-only routing), and the
+    watermark advanced (cp_max_ts_us ≤ cutoff < min_delta_ts_us)."""
+    import __spark_entry__ as entry_mod
+
+    t = load_transcripts(spark, SF)
+    us = cp.ts_micros(F.col("ts"))
+    lo, hi = t.agg(F.min(us), F.max(us)).first()
+    cutoff = lo + (hi - lo) * 6 // 10
+    n_suffix = t.filter(cp.ts_micros(F.col("ts")) > F.lit(cutoff)).count()
+
+    out = entry_mod._q_harvest_incremental(spark, SF).collect()
+    assert out, "no buckets"
+    total_delta = 0
+    for r in out:
+        if r["n_delta"] is not None:
+            total_delta += r["n_delta"]
+            if r["cp_max_ts_us"] is not None:
+                assert r["min_delta_ts_us"] > r["cp_max_ts_us"]
+                assert r["cp_max_ts_us"] <= cutoff < r["min_delta_ts_us"]
+    assert total_delta == n_suffix

@@ -134,8 +134,9 @@ def _overrides() -> dict:
     from d1_log_aggregation_spark.datapipe.corpus import load_corpus
 
     return {
+        # explicit lineage-persist leg (r7: the default auto-scratches)
         "corpus_deduped": lambda s, d: dedup.corpus_deduped(
-            load_corpus(s, d)
+            load_corpus(s, d), lineage_persist=True
         ),
         "corpus_deduped_lsh": lambda s, d: dedup.corpus_deduped_lsh(
             load_corpus(s, d)
