@@ -866,6 +866,15 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.bpe_merges(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE under the trained tokenizer — bpe_merges' consumer side:
+    the merge table applied in rank order to the distinct-word relation
+    (n scan-local folds), corpus pre-aggregated to (doc, word, n_occ)
+    before the vocab join, per-doc words/pieces/fertility_ppm
+    integer-exact."""
+    return dp_text.bpe_encode_stats(_docs(spark, sf_dir), n_merges=8)
+
+
 def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.mixture_weights(_docs(spark, sf_dir))
 
@@ -1117,14 +1126,15 @@ def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    FIRST 50 entries.  Round-7 rotation (the "union of the last two
-    CORRECTNESS files covers the registry" invariant): the window holds
-    (a) the three queries NEW this round (ann_ivf_bigk, bpe_merges,
-    harvest_incremental) and (b) 47 of the 50 entries whose latest
-    driver row is r5 (exactly the set CORRECTNESS_r06 did NOT cover).
-    The registry grew to 103 while the driver window stays 50, so three
-    r5-latest entries no longer fit: vocab_topk / top_pids_per_role /
-    role_event_pivot (chosen because they are simple single-agg SQL
+    FIRST 50 entries.  Round-7 rotation: the window holds (a) the FOUR
+    queries NEW this round (ann_ivf_bigk, bpe_merges,
+    harvest_incremental, bpe_encoded_stats) and (b) 46 of the 50 entries
+    whose latest driver row is r5 (exactly the set CORRECTNESS_r06 did
+    NOT cover).  The registry grew to 104 while the driver window stays
+    50, so the two-round-union invariant relaxes to a THREE-round
+    rotation for the overflow: four r5-latest entries no longer fit —
+    vocab_topk / top_pids_per_role / role_event_pivot /
+    sink_role_rollup (chosen because they are simple single-agg SQL
     untouched since r5) sit LAST, stay green in every pytest oracle-gate
     run and the committed SWEEP artifact, and go FIRST in round 8's
     window.  Entries 51-100 are the round-6 driver-green set."""
@@ -1134,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_bigk": _q_ann_ivf_bigk,
         "bpe_merges": _q_bpe_merges,
         "harvest_incremental": _q_harvest_incremental,
+        "bpe_encoded_stats": _q_bpe_encoded_stats,
         # --- rotated in: entries whose latest driver row is r5 ------------
         "paragraph_dedup": _q_paragraph_dedup,
         "entropy_stats": _q_entropy_stats,
@@ -1181,7 +1192,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _q_doc_keywords,
         "robot_rate_daily": _q_robot_rate_daily,
         "user_retention": _q_user_retention,
-        "sink_role_rollup": _q_sink_role_rollup,
         # --- past the driver's 50-entry window: driver-green in ROUND 6
         # --- (CORRECTNESS_r06.json); pytest + SWEEP re-verify every run ----
         "transcripts_xml": _q_transcripts_xml,
@@ -1238,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": _q_vocab_topk,
         "top_pids_per_role": _q_top_pids_per_role,
         "role_event_pivot": _q_role_event_pivot,
+        "sink_role_rollup": _q_sink_role_rollup,
     }
 
 
@@ -1287,6 +1298,7 @@ def oracle_sql() -> dict[str, str]:
                 n_fine=256, n_coarse=16, nprobe_coarse=2, nprobe_fine=8
             ),
             "bpe_merges": dp_text.bpe_merges_sql(n_merges=8),
+            "bpe_encoded_stats": dp_text.bpe_encode_sql(n_merges=8),
             "harvest_incremental": _harvest_incremental_sql(),
             "ann_recall_audit": dp_oracle.recall_audit_sql(),
             "ann_lsh_topk": dp_oracle.lsh_topk_sql(),

@@ -663,6 +663,155 @@ SELECT * FROM ({selects}) ORDER BY merge_rank
 """
 
 
+def bpe_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+    merges: DataFrame | None = None,
+) -> DataFrame:
+    """ENCODE under the trained tokenizer — the consumer side of
+    ``bpe_merges`` (train → encode, the tokenizers ``encode()`` loop
+    distributed).  Per doc: whitespace words, BPE pieces after applying
+    the merge table in rank order, and the integer-exact fertility
+    (pieces per word, ppm) — the trained-vocabulary upgrade of
+    ``token_fertility``'s fixed regex tokenizer.
+
+    Shape (the vocabulary-relation discipline):
+
+    - the merge table is the TOKENIZER ARTIFACT: ``n_merges`` rows,
+      collected to the driver (trained here by default; pass
+      ``merges=`` to reuse a prior training run and skip its corpus
+      pass).
+    - merges apply to the DISTINCT-WORD relation, never per occurrence:
+      ``n_merges`` chained scan-local array folds (``_apply_merge``)
+      over |vocab| rows ⇒ (word, n_pieces).
+    - the corpus side pre-aggregates to (doc, word, n_occ) BEFORE the
+      vocab join — hot stopwords arrive at the join bounded by per-doc
+      distinct vocabulary, the paragraph-dedup partial-agg pattern —
+      then one hash join on ``word`` (broadcastable while the vocab
+      fits; plain equi-join + AQE otherwise) and a per-doc rollup.
+    - fertility_ppm = pieces·10⁶ div words (integer-exact, no libm).
+
+    Words containing the ``BPE_SEP`` sentinel are excluded corpus-wide
+    (the ``bpe_merges`` vocab filter — keeps the DuckDB twin's
+    sentinel-string merge application exact).  Docs with no surviving
+    words emit no row (both engines agree by inner-join construction).
+    """
+    mdf = merges if merges is not None else bpe_merges(
+        docs, text_col, n_merges
+    )
+    merge_rows = sorted(mdf.collect(), key=lambda m: m["merge_rank"])
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
+            )
+        ).alias("word"),
+    ).filter(~F.col("word").contains(BPE_SEP))
+    dw = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+
+    syms: Column = F.split(F.col("word"), "")
+    for m in merge_rows:
+        syms = _apply_merge(syms, m["left"], m["right"])
+    enc = dw.select("word").distinct().select(
+        "word", F.size(syms).cast("long").alias("pieces_per_word")
+    )
+
+    return (
+        dw.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_occ").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("pieces_per_word")).alias(
+                "n_pieces"
+            ),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_pieces",
+            F.expr("n_pieces * 1000000L div n_words").alias(
+                "fertility_ppm"
+            ),
+        )
+    )
+
+
+def bpe_encode_sql(
+    src: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 8,
+    id_col: str = "doc_id",
+) -> str:
+    """Unrolled twin of ``bpe_encode_stats``: re-derives the merge table
+    with ``bpe_merges_sql``'s CTE chain, then carries the WORD through
+    the sentinel-string rewrite rounds so syms{N} is the encoded
+    vocabulary, and rolls up per doc."""
+    norm = f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')"
+    sep, dsep = BPE_SEP, BPE_SEP * 2
+    ctes = [
+        f"""toks AS (
+  SELECT unnest(string_split({norm}, ' ')) AS word FROM {src}
+),
+vocab AS (
+  SELECT word, cast(count(*) AS bigint) AS cnt FROM toks
+  WHERE word <> '' AND NOT contains(word, '{sep}') GROUP BY word
+),
+syms0 AS (SELECT word, string_split(word, '') AS syms, cnt FROM vocab)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""pairs{r} AS (
+  SELECT t.l AS "left", t.r AS "right", cast(sum(cnt) AS bigint) AS n
+  FROM syms{p}, unnest(list_transform(range(1, len(syms)),
+       i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS u(t)
+  GROUP BY t.l, t.r
+),
+top{r} AS (
+  SELECT "left", "right", n FROM pairs{r}
+  ORDER BY n DESC, "left" ASC, "right" ASC LIMIT 1
+),
+syms{r} AS (
+  SELECT s.word, string_split(
+           trim(replace('{sep}' || array_to_string(s.syms, '{dsep}')
+                        || '{sep}',
+                        '{sep}' || t.left || '{dsep}' || t.right
+                        || '{sep}',
+                        '{sep}' || t.left || t.right || '{sep}'),
+                '{sep}'),
+           '{dsep}') AS syms, s.cnt
+  FROM syms{p} s CROSS JOIN top{r} t
+)""")
+    ctes.append(
+        f"enc AS (SELECT word, cast(len(syms) AS bigint) AS"
+        f" pieces_per_word FROM syms{n_merges})"
+    )
+    ctes.append(f"""docw AS (
+  SELECT {id_col}, word, cast(count(*) AS bigint) AS n_occ
+  FROM (
+    SELECT {id_col}, unnest(string_split({norm}, ' ')) AS word FROM {src}
+  )
+  WHERE word <> '' AND NOT contains(word, '{sep}')
+  GROUP BY {id_col}, word
+)""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT d.{id_col},
+       cast(sum(d.n_occ) AS bigint) AS n_words,
+       cast(sum(d.n_occ * e.pieces_per_word) AS bigint) AS n_pieces,
+       cast(sum(d.n_occ * e.pieces_per_word) * 1000000
+            // sum(d.n_occ) AS bigint) AS fertility_ppm
+FROM docw d JOIN enc e USING (word)
+GROUP BY d.{id_col}
+"""
+
+
 QUANTILE_PCTS = [50, 90, 99]
 
 

@@ -1449,6 +1449,81 @@ def test_bpe_merges_early_stop_on_single_char_vocab(spark):
     assert out == []
 
 
+def test_bpe_encode_stats_matches_python_twin(spark):
+    """Encode under the trained merges (bpe_encode_stats) vs a
+    pure-Python twin on the known-merge-sequence corpus, including the
+    aaa/aaaa overlap vectors and the integer-exact fertility_ppm."""
+    from d1_log_aggregation_spark.datapipe import textstats
+
+    docs_rows = [
+        (0, "low low low low low"),
+        (1, "lower lower"),
+        (2, "newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+        (4, "aaaa aaa aaaa"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    word_counts = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2,
+        "aaa": 1,
+    }
+    merges = _bpe_python_twin(word_counts, 6)
+
+    def n_pieces(word: str) -> int:
+        syms = list(word)
+        for _, a, b, _, _ in merges:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    expected = {}
+    for doc_id, text in docs_rows:
+        ws = text.split()
+        words = len(ws)
+        pieces = sum(n_pieces(w) for w in ws)
+        expected[doc_id] = (words, pieces, pieces * 1_000_000 // words)
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["fertility_ppm"])
+        for r in textstats.bpe_encode_stats(docs, n_merges=6).collect()
+    }
+    assert got == expected
+    # the trained merges must actually compress: every doc's pieces are
+    # strictly fewer than its characters (all these words merge)
+    for doc_id, text in docs_rows:
+        n_chars = sum(len(w) for w in text.split())
+        assert got[doc_id][1] < n_chars
+
+
+def test_bpe_encode_stats_accepts_pretrained_merges(spark):
+    """The merges= reuse path: encoding under a HANDED-IN merge table
+    must match training-inline, and must not rescan for training."""
+    from d1_log_aggregation_spark.datapipe import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab"), (1, "abc")], "doc_id long, text string"
+    )
+    inline = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["fertility_ppm"])
+        for r in textstats.bpe_encode_stats(docs, n_merges=2).collect()
+    }
+    pre = textstats.bpe_merges(docs, n_merges=2)
+    reused = {
+        r["doc_id"]: (r["n_words"], r["n_pieces"], r["fertility_ppm"])
+        for r in textstats.bpe_encode_stats(
+            docs, merges=pre
+        ).collect()
+    }
+    assert inline == reused
+    # merge 1 is (a,b)->ab with 4 occurrences; "ab" becomes 1 piece
+    assert inline[0] == (3, 3, 1_000_000)
+
+
 def test_ivf_bigk_matches_small_ivf_recall_contract(spark):
     """ivf_topk_bigk at gate params: same output shape as ivf_topk,
     exact scores where brute force agrees, recall floor vs brute."""
