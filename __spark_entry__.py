@@ -866,6 +866,18 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_text.bpe_merges(_docs(spark, sf_dir), n_merges=8)
 
 
+def _q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift monitor between two corpus segments (deterministic
+    doc_id-parity stand-in for reference-vs-new-batch): per bounded
+    feature bucket, both sides' counts + the Laplace-smoothed PSI term
+    over the union bucket domain.  One partial-agg shuffle to the
+    bounded cell relation; windows only over that tiny relation."""
+    docs = _docs(spark, sf_dir)
+    return dp_text.corpus_drift(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1")
+    )
+
+
 def _q_bpe_encoded_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENCODE under the trained tokenizer — bpe_merges' consumer side:
     the merge table applied in rank order to the distinct-word relation
@@ -1126,18 +1138,19 @@ def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    FIRST 50 entries.  Round-7 rotation: the window holds (a) the FOUR
+    FIRST 50 entries.  Round-7 rotation: the window holds (a) the FIVE
     queries NEW this round (ann_ivf_bigk, bpe_merges,
-    harvest_incremental, bpe_encoded_stats) and (b) 46 of the 50 entries
-    whose latest driver row is r5 (exactly the set CORRECTNESS_r06 did
-    NOT cover).  The registry grew to 104 while the driver window stays
-    50, so the two-round-union invariant relaxes to a THREE-round
-    rotation for the overflow: four r5-latest entries no longer fit —
-    vocab_topk / top_pids_per_role / role_event_pivot /
-    sink_role_rollup (chosen because they are simple single-agg SQL
-    untouched since r5) sit LAST, stay green in every pytest oracle-gate
-    run and the committed SWEEP artifact, and go FIRST in round 8's
-    window.  Entries 51-100 are the round-6 driver-green set."""
+    harvest_incremental, bpe_encoded_stats, corpus_drift) and (b) 45 of
+    the 50 entries whose latest driver row is r5 (exactly the set
+    CORRECTNESS_r06 did NOT cover).  The registry grew to 105 while the
+    driver window stays 50, so the two-round-union invariant relaxes to
+    a THREE-round rotation for the overflow: five r5-latest entries no
+    longer fit — vocab_topk / top_pids_per_role / role_event_pivot /
+    sink_role_rollup / user_retention (chosen because they are simple
+    single-agg SQL untouched since r5) sit LAST, stay green in every
+    pytest oracle-gate run and the committed SWEEP artifact, and go
+    FIRST in round 8's window.  Entries 51-100 are the round-6
+    driver-green set."""
     return {
 
         # --- new in round 7 ----------------------------------------------
@@ -1145,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "harvest_incremental": _q_harvest_incremental,
         "bpe_encoded_stats": _q_bpe_encoded_stats,
+        "corpus_drift": _q_corpus_drift,
         # --- rotated in: entries whose latest driver row is r5 ------------
         "paragraph_dedup": _q_paragraph_dedup,
         "entropy_stats": _q_entropy_stats,
@@ -1191,7 +1205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": _q_dedup_against,
         "doc_keywords": _q_doc_keywords,
         "robot_rate_daily": _q_robot_rate_daily,
-        "user_retention": _q_user_retention,
         # --- past the driver's 50-entry window: driver-green in ROUND 6
         # --- (CORRECTNESS_r06.json); pytest + SWEEP re-verify every run ----
         "transcripts_xml": _q_transcripts_xml,
@@ -1249,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pids_per_role": _q_top_pids_per_role,
         "role_event_pivot": _q_role_event_pivot,
         "sink_role_rollup": _q_sink_role_rollup,
+        "user_retention": _q_user_retention,
     }
 
 
@@ -1299,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             "bpe_merges": dp_text.bpe_merges_sql(n_merges=8),
             "bpe_encoded_stats": dp_text.bpe_encode_sql(n_merges=8),
+            "corpus_drift": dp_text.corpus_drift_sql(),
             "harvest_incremental": _harvest_incremental_sql(),
             "ann_recall_audit": dp_oracle.recall_audit_sql(),
             "ann_lsh_topk": dp_oracle.lsh_topk_sql(),

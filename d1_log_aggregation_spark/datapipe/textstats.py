@@ -812,6 +812,144 @@ GROUP BY d.{id_col}
 """
 
 
+DRIFT_LEN_BUCKET_CHARS = 100
+DRIFT_LEN_BUCKET_CAP = 20
+
+
+def _drift_features(df: DataFrame, text_col: str, lang_col: str):
+    """(feature, bucket) rows per doc — the bounded-bucket projection
+    both corpus sides share.  len_bucket = min(len div 100, 20) keeps
+    the domain ≤ 21 cells at any corpus size; lang is already a bounded
+    code."""
+    lb = F.least(
+        F.length(F.col(text_col))
+        / F.lit(DRIFT_LEN_BUCKET_CHARS),
+        F.lit(DRIFT_LEN_BUCKET_CAP),
+    ).cast("long")
+    return df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("len_bucket").alias("feature"),
+                    lb.cast("string").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("lang").alias("feature"),
+                    F.col(lang_col).cast("string").alias("bucket"),
+                ),
+            )
+        ).alias("fb")
+    ).select("fb.feature", "fb.bucket")
+
+
+def corpus_drift(
+    ref: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Population-stability drift monitor between a REFERENCE corpus
+    and a CANDIDATE batch — the data-quality gate a production training
+    pipeline runs before admitting a new crawl/snapshot into the mix
+    (the PSI dashboard; complements `corpus_mix`, which profiles one
+    corpus, and `node_staleness`, which monitors recency).
+
+    Per bounded feature (doc-length decile bucket, lang code), per
+    bucket: both sides' counts and the PSI term
+    ``(p_new − p_ref) · ln(p_new / p_ref)`` with Laplace +1 smoothing
+    over the UNION bucket domain (no ln(0); an empty-on-one-side bucket
+    contributes a finite, correctly-signed term).  Σ psi_term per
+    feature is the classic PSI statistic (< 0.1 stable / 0.1–0.25
+    drifting / > 0.25 shifted).
+
+    Plan: each side is one scan-local bounded-bucket projection → ONE
+    partial-aggregating shuffle to the (feature, bucket, side) cell
+    relation (≤ |langs| + 21 rows) → per-feature totals via windows
+    over that tiny relation.  Nothing downstream of the agg depends on
+    corpus size; `F.log` ↔ DuckDB `ln` under the oracle's 1e-6 float
+    tolerance (the dsir_weights / lm_perplexity precedent)."""
+    cells = (
+        _drift_features(ref, text_col, lang_col)
+        .withColumn("side", F.lit("ref"))
+        .unionByName(
+            _drift_features(new, text_col, lang_col).withColumn(
+                "side", F.lit("new")
+            )
+        )
+        .groupBy("feature", "bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias(
+                "n_ref"
+            ),
+            F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias(
+                "n_new"
+            ),
+        )
+    )
+    wf = Window.partitionBy("feature")
+    tot = (
+        cells.withColumn("ref_tot", F.sum("n_ref").over(wf))
+        .withColumn("new_tot", F.sum("n_new").over(wf))
+        .withColumn("n_buckets", F.count(F.lit(1)).over(wf))
+    )
+    p_ref = (F.col("n_ref") + 1) / (F.col("ref_tot") + F.col("n_buckets"))
+    p_new = (F.col("n_new") + 1) / (F.col("new_tot") + F.col("n_buckets"))
+    return tot.select(
+        "feature",
+        "bucket",
+        "n_ref",
+        "n_new",
+        ((p_new - p_ref) * F.log(p_new / p_ref)).alias("psi_term"),
+    )
+
+
+def corpus_drift_sql(
+    src: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    ref_pred: str = "doc_id % 2 = 0",
+) -> str:
+    """Twin of ``corpus_drift`` with ref/new = the parity split of
+    ``src`` (the registry query's deterministic two-corpus stand-in)."""
+    lb = (
+        f"cast(least(length({text_col}) // {DRIFT_LEN_BUCKET_CHARS},"
+        f" {DRIFT_LEN_BUCKET_CAP}) AS varchar)"
+    )
+    return f"""
+WITH sides AS (
+  SELECT *, CASE WHEN {ref_pred} THEN 'ref' ELSE 'new' END AS side
+  FROM {src}
+),
+fb AS (
+  SELECT side, 'len_bucket' AS feature, {lb} AS bucket FROM sides
+  UNION ALL
+  SELECT side, 'lang' AS feature, cast({lang_col} AS varchar) AS bucket
+  FROM sides
+),
+cells AS (
+  SELECT feature, bucket,
+         cast(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS bigint)
+           AS n_ref,
+         cast(sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS bigint)
+           AS n_new
+  FROM fb GROUP BY feature, bucket
+),
+tot AS (
+  SELECT *,
+         sum(n_ref) OVER (PARTITION BY feature) AS ref_tot,
+         sum(n_new) OVER (PARTITION BY feature) AS new_tot,
+         count(*) OVER (PARTITION BY feature) AS n_buckets
+  FROM cells
+)
+SELECT feature, bucket, n_ref, n_new,
+       ((n_new + 1) * 1.0 / (new_tot + n_buckets)
+        - (n_ref + 1) * 1.0 / (ref_tot + n_buckets))
+       * ln(((n_new + 1) * 1.0 / (new_tot + n_buckets))
+            / ((n_ref + 1) * 1.0 / (ref_tot + n_buckets))) AS psi_term
+FROM tot
+"""
+
+
 QUANTILE_PCTS = [50, 90, 99]
 
 

@@ -1500,6 +1500,50 @@ def test_bpe_encode_stats_matches_python_twin(spark):
         assert got[doc_id][1] < n_chars
 
 
+def test_corpus_drift_psi_known_values_and_null_case(spark):
+    """PSI drift monitor on crafted corpora: identical sides give
+    psi_term == 0 exactly (p_new == p_ref bucket-by-bucket), and a
+    known lang shift reproduces the hand-computed Laplace-smoothed
+    terms; per-feature sums are positive under drift."""
+    import math
+
+    from d1_log_aggregation_spark.datapipe import textstats
+
+    rows = [(i, "x" * 50, "en", "s", 50) for i in range(8)]
+    schema = "doc_id long, text string, lang string, source string," \
+             " n_chars long"
+    same = spark.createDataFrame(rows, schema)
+    null_case = textstats.corpus_drift(same, same).collect()
+    assert null_case and all(r["psi_term"] == 0.0 for r in null_case)
+
+    # ref: 8 en; new: 4 en + 4 fr (all len bucket 0)
+    new_rows = [(i, "x" * 50, "en" if i < 4 else "fr", "s", 50)
+                for i in range(8)]
+    new = spark.createDataFrame(new_rows, schema)
+    out = {
+        (r["feature"], r["bucket"]): r
+        for r in textstats.corpus_drift(same, new).collect()
+    }
+    # lang domain = {en, fr}, B=2: p_ref(en)=(8+1)/10, p_new(en)=(4+1)/10
+    def term(c_ref, c_new, ref_tot, new_tot, b):
+        p_r = (c_ref + 1) / (ref_tot + b)
+        p_n = (c_new + 1) / (new_tot + b)
+        return (p_n - p_r) * math.log(p_n / p_r)
+
+    assert out[("lang", "en")]["n_ref"] == 8
+    assert out[("lang", "fr")]["n_ref"] == 0
+    assert abs(out[("lang", "en")]["psi_term"]
+               - term(8, 4, 8, 8, 2)) < 1e-12
+    assert abs(out[("lang", "fr")]["psi_term"]
+               - term(0, 4, 8, 8, 2)) < 1e-12
+    psi_lang = sum(
+        r["psi_term"] for (f, _), r in out.items() if f == "lang"
+    )
+    assert psi_lang > 0.25  # a 50% category shift reads as "shifted"
+    # len_bucket feature saw no drift: identical length distributions
+    assert abs(out[("len_bucket", "0")]["psi_term"]) < 1e-12
+
+
 def test_bpe_encode_stats_accepts_pretrained_merges(spark):
     """The merges= reuse path: encoding under a HANDED-IN merge table
     must match training-inline, and must not rescan for training."""
