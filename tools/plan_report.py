@@ -85,6 +85,11 @@ TARGETS = [
     "dsir_weights_scratch",
     "dup_ngram_stats",
     "dup_ngram_stats_scratch",
+    # r7 additions
+    "ann_ivf_bigk",
+    "bpe_encoded_stats",
+    "corpus_drift",
+    "harvest_incremental",
 ]
 
 PATTERNS = {
@@ -268,6 +273,11 @@ def main() -> None:
     print("docs scan + the written-relation scans; the synthetic test")
     print("corpus itself accounts for 14 of the remaining scans (it is")
     print("a 3-branch union template with scalar subqueries).")
+    print()
+    print("Since r7 `corpus_deduped` / `dedup_against` rows are the")
+    print("EXPLICIT `lineage_persist=True` test-only legs — the default")
+    print("call now auto-materializes scratch (VERDICT r6 item 8), so")
+    print("production reaches only the *_scratch-shaped plans.")
     print()
     cols = list(PATTERNS)
     print("| query | " + " | ".join(cols) + " |")
