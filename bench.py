@@ -686,7 +686,9 @@ def run_skew(master: str, shuffle_partitions: int) -> dict:
         for inp, path in (
             ("uniform", TRANSCRIPTS_PATH), ("skewed", skew_path)
         )
-        for scan, narrow in (("wide", False), ("narrow", True))
+        for scan, narrow in (
+            ("wide", False), ("narrow", True), ("auto", "auto")
+        )
     ]
     jobs = {}
     for inp, path, scan, narrow in legs:
@@ -744,6 +746,22 @@ def run_skew(master: str, shuffle_partitions: int) -> dict:
         ),
         "narrow_uniform_overhead": round(
             out["pipeline_uniform_narrow_sec"]
+            / out["pipeline_uniform_wide_sec"], 3
+        ),
+        # the production configuration: repeat_scan_narrow="auto" lets
+        # choose_narrow_scan pick the shape per input from a ~1%
+        # deterministic sample — this pair is what a real deployment
+        # pays, vs the wide/narrow diagnostics above
+        "skew_slowdown_auto": round(
+            out["pipeline_skewed_auto_sec"]
+            / out["pipeline_uniform_auto_sec"], 3
+        ),
+        "skewed_auto_vs_uniform_wide": round(
+            out["pipeline_skewed_auto_sec"]
+            / out["pipeline_uniform_wide_sec"], 3
+        ),
+        "auto_uniform_overhead": round(
+            out["pipeline_uniform_auto_sec"]
             / out["pipeline_uniform_wide_sec"], 3
         ),
     }
