@@ -522,10 +522,86 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _split_utf16_units(word: str) -> list[str]:
+    """Character split matching Spark's ``F.split(word, "")`` exactly:
+    Java splits per UTF-16 code unit, so a non-BMP character yields two
+    lone-surrogate symbols.  For BMP/ASCII text this is the plain
+    per-character list; the UTF-16 round trip keeps the driver-local
+    trainer bit-identical to the old Spark-split path on any input."""
+    if word.isascii():  # fast path — the overwhelmingly common case
+        return list(word)
+    enc = word.encode("utf-16-be", "surrogatepass")
+    return [
+        enc[i:i + 2].decode("utf-16-be", "surrogatepass")
+        for i in range(0, len(enc), 2)
+    ]
+
+
+def _merge_word_local(syms: list[str], a: str, b: str) -> list[str]:
+    """Driver-local twin of ``_apply_merge``: left-to-right
+    non-overlapping fold (merge when accumulator tail == a and current
+    symbol == b; the merged symbol never re-matches as ``a`` within the
+    round)."""
+    out: list[str] = []
+    ab = a + b
+    for x in syms:
+        if out and x == b and out[-1] == a:
+            out[-1] = ab
+        else:
+            out.append(x)
+    return out
+
+
+def train_bpe_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple]:
+    """Driver-local BPE merge loop over a collected (word, cnt) vocab —
+    the HF/sentencepiece trainer shape.  Incremental pair bookkeeping:
+    each round touches only the words containing the winning pair, so
+    30k–100k merges cost O(Σ affected-word length), not
+    O(n_merges · |vocab|).  Returns (rank, left, right, merged, n)
+    tuples under the engine tie-break (count desc, left asc, right asc —
+    Python str comparison is code-point order == UTF-8 binary order,
+    the same collation Spark's orderBy and DuckDB's ORDER BY use)."""
+    words = [_split_utf16_units(w) for w, _ in word_counts]
+    cnts = [c for _, c in word_counts]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set] = {}
+    for i, syms in enumerate(words):
+        c = cnts[i]
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            pair_words.setdefault(p, set()).add(i)
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (a, b), n = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, a, b, a + b, n))
+        for i in sorted(pair_words.get((a, b), ())):
+            syms = words[i]
+            c = cnts[i]
+            for p in zip(syms, syms[1:]):
+                pair_counts[p] -= c
+                if pair_counts[p] == 0:
+                    del pair_counts[p]
+                pair_words[p].discard(i)
+            new = _merge_word_local(syms, a, b)
+            words[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + c
+                pair_words.setdefault(p, set()).add(i)
+        pair_words.pop((a, b), None)
+    return merges
+
+
 def bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
+    strategy: str = "local",
 ) -> DataFrame:
     """The iterated BPE tokenizer-training loop (VERDICT r6 item 6) —
     what ``merge_pair_counts`` (one round's pair census) stops short of.
@@ -533,21 +609,30 @@ def bpe_merges(
     n_occurrences), one row per round, ``merge_rank`` = 1-based round.
 
     Classic character-level BPE over the word-frequency vocabulary
-    (Sennrich et al. 2016; the HF-tokenizers training loop, distributed):
+    (Sennrich et al. 2016; the HF-tokenizers training loop):
 
     1. ONE corpus pass builds (word, cnt) — the only corpus-sized
        shuffle, map-side combining.
-    2. Each word becomes its character-symbol array; every later round
-       touches ONLY this vocabulary-sized relation: explode adjacent
-       symbol pairs weighted by cnt → groupBy(left, right) partial-agg →
-       a ONE-ROW collect of the argmax (cnt desc, left asc, right asc —
-       the deterministic tie-break both engines share) → apply the merge
-       as a scan-local array fold.  No corpus re-scan, ever.
-    3. Driver state = the merge table itself (n_merges rows).
+    2. ``strategy="local"`` (default, VERDICT r7 item 1): the bounded
+       (word, cnt) relation — |vocab| ≪ corpus by Heaps' law, the
+       operator's own design point — is COLLECTED and the merge loop
+       runs driver-local with incremental pair bookkeeping
+       (``train_bpe_local``), exactly what HF/sentencepiece trainers
+       do.  Spark job count is O(1) in ``n_merges`` (one aggregation),
+       so a real 30k–100k-merge tokenizer build no longer pays 30k+
+       sequential job launches.  Tie-break (count desc, left asc, right
+       asc) and the left-to-right non-overlapping merge application are
+       bit-identical to the distributed rounds (pytest-pinned).
+    3. ``strategy="jobs"``: the pre-r8 per-round Spark loop (explode
+       pairs → partial agg → 1-row argmax collect → scan-local fold per
+       round) — kept as the distributed reference twin for the
+       equivalence pytest and for vocabularies too large to collect
+       (past ``spark.driver.maxResultSize``).
 
-    100 TB: |vocab| ≪ corpus (heaps law), rounds are vocabulary-sized
-    jobs, and the per-round relation is persisted + rotated so lineage
-    stays flat.  Stops early when no adjacent pair remains."""
+    Driver state for "local" = the (word, cnt) list + symbol arrays —
+    vocabulary-sized, the same bound the encoder side
+    (``bpe_encode_stats``) already relies on for its distinct-word
+    relation.  Stops early when no adjacent pair remains."""
     toks = docs.select(
         F.explode(
             F.filter(
@@ -561,6 +646,17 @@ def bpe_merges(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     spark = docs.sparkSession
+    schema = (
+        "merge_rank long, left string, right string, merged string,"
+        " n_occurrences long"
+    )
+    if strategy == "local":
+        word_counts = [(r["word"], r["cnt"]) for r in vocab.collect()]
+        return spark.createDataFrame(
+            train_bpe_local(word_counts, n_merges), schema
+        )
+    if strategy != "jobs":
+        raise ValueError(f"unknown bpe_merges strategy: {strategy!r}")
     cur = vocab.select(
         F.split(F.col("word"), "").alias("syms"), "cnt"
     ).persist()
@@ -602,11 +698,7 @@ def bpe_merges(
             cur = nxt
     finally:
         cur.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank long, left string, right string, merged string,"
-        " n_occurrences long",
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 def bpe_merges_sql(

