@@ -167,7 +167,12 @@ def _assign(base: DataFrame, cent_rows: list) -> DataFrame:
     rounding is part of the cross-engine contract, so ranking stays the
     SQL window, not an in-UDF argmax).  The centroid matrix rides in the
     scorer closure (MLlib-style driver-side centroids); the corpus
-    streams through one matmul pass."""
+    streams through one matmul pass.
+
+    Pre-r8 shape, kept as the plan-transparent equivalence twin of
+    ``with_best_centroid`` (pytest-pinned): the C×-fan-out through the
+    Python boundary plus the window argmax cost one corpus exchange per
+    use — the fused path costs zero."""
     scored = score_against_rows(base, cent_rows, "centroid_id").withColumn(
         "cosine", F.round(cosine_col(), 9)
     )
@@ -179,6 +184,103 @@ def _assign(base: DataFrame, cent_rows: list) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("vec_id", "centroid_id")
     )
+
+
+def qdots_against(qvec: Column, mat_rows: list) -> Column:
+    """``array<long>`` column of exact int64 dot products of ``qvec``
+    against every row of a small (C × dim) driver-side matrix — ONE
+    batch matmul per Arrow batch, no row fan-out.  Row order of
+    ``mat_rows`` is the array order."""
+    mat = np.array([list(r) for r in mat_rows], dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _dots(qv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="object")
+        m = np.vstack(qv.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(list(m @ mat.T))
+
+    return _dots(qvec)
+
+
+def _rounded_cosines_col(cent_rows: list) -> Column:
+    """array<double> of ROUNDED cosines of this row's qvec against the
+    (centroid_id-ascending) ``cent_rows`` — the same
+    round(qd / sqrt(qn_a·qn_b), 9) expression as the fan-out scorer,
+    evaluated per array element in the JVM."""
+    qds = qdots_against(F.col("qvec"), [list(r[1]) for r in cent_rows])
+    qns = F.array(*[F.lit(float(r[2])) for r in cent_rows])
+    qn_a = F.col("qnorm2").cast("double")
+    return F.transform(
+        qds,
+        lambda x, i: F.round(
+            x / F.sqrt(qn_a * F.element_at(qns, i + F.lit(1))), 9
+        ),
+    )
+
+
+def with_best_centroid(
+    base: DataFrame,
+    cent_rows: list,
+    out_id: str = "centroid_id",
+    cos_col: str | None = None,
+) -> DataFrame:
+    """Append the nearest-centroid id (and optionally its rounded
+    cosine) to ``base`` (vec_id, qvec, qnorm2, ...) in ONE narrow pass:
+    a batched-matmul array column of C dots + a JVM argmax over the
+    C-element rounded-cosine array.
+
+    Replaces the r7 ``score_against_rows`` → window-rank-1 → join-back
+    pattern: that shape fanned the corpus ×C through the Python
+    boundary, shuffled it for the window, and shuffled again to join
+    the winner back — two corpus exchanges per use; this shape has
+    ZERO exchanges and never leaves the scan pipeline.  Bit-identical
+    outcome (pytest-pinned against ``_assign``): same rounded-cosine
+    contract, and ``array_position(cosr, array_max(cosr))`` returns the
+    FIRST position of the maximum — the (cosine desc, centroid asc)
+    tie-break, because the centroid array is centroid_id-ascending."""
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    ids = F.array(*[F.lit(int(r[0])) for r in rows])
+    out = base.withColumn("_cosr", _rounded_cosines_col(rows))
+    out = out.withColumn(
+        "_p",
+        F.array_position(F.col("_cosr"), F.array_max(F.col("_cosr")))
+        .cast("int"),
+    )
+    cols = {out_id: F.element_at(ids, F.col("_p"))}
+    if cos_col is not None:
+        cols[cos_col] = F.element_at(F.col("_cosr"), F.col("_p"))
+    return out.withColumns(cols).drop("_cosr", "_p")
+
+
+def with_probed_centroids(
+    base: DataFrame,
+    cent_rows: list,
+    nprobe: int,
+    out_id: str = "centroid_id",
+) -> DataFrame:
+    """(base columns…, <out_id>): each row exploded to its top-``nprobe``
+    centroids under (rounded cosine desc, centroid asc) — the top-N
+    generalization of ``with_best_centroid``.  The ranking happens in a
+    per-row array sort (key = struct(-cosine, centroid_id), ascending),
+    so the corpus never shuffles and the only fan-out is the final
+    ×nprobe explode of the chosen ids."""
+    rows = sorted(cent_rows, key=lambda r: r[0])
+    ids = F.array(*[F.lit(int(r[0])) for r in rows])
+    cosr = _rounded_cosines_col(rows)
+    ranked = F.array_sort(
+        F.transform(
+            cosr,
+            lambda c, i: F.struct(
+                F.negative(c).alias("nc"),
+                F.element_at(ids, i + F.lit(1)).alias("id"),
+            ),
+        )
+    )
+    probes = F.transform(
+        F.slice(ranked, 1, nprobe), lambda s: s["id"]
+    )
+    return base.withColumn(out_id, F.explode(probes))
 
 
 def _seed_centroid_rows(base: DataFrame, n_centroids: int) -> list:
@@ -320,10 +422,13 @@ def kmeans_centroids(
         base = base.persist(StorageLevel.MEMORY_AND_DISK)
     cent_rows = _seed_centroid_rows(base, n_centroids)
     for _ in range(n_iters):
-        assign = _assign(base, cent_rows)
-        partials = _centroid_partials(
-            base.join(assign, "vec_id").select("centroid_id", "qvec")
+        # r8: fused argmax assignment — the members relation is ONE
+        # narrow pass over base (no ×C fan-out, no window exchange, no
+        # vec_id join-back; see with_best_centroid)
+        members = with_best_centroid(base, cent_rows).select(
+            "centroid_id", "qvec"
         )
+        partials = _centroid_partials(members)
         # posexplode over the PARTIAL relation (≤ batches × n_centroids
         # rows), never the corpus
         dims_agg = (
@@ -375,9 +480,9 @@ def assign_centroids(
     """(vec_id, centroid_id) under the trained k-means centroids."""
     base = with_qvec(embeddings).select("vec_id", "qvec", "qnorm2")
     trained = kmeans_centroids(embeddings, n_centroids, n_iters).collect()
-    return _assign(
+    return with_best_centroid(
         base, [(r["centroid_id"], list(r["qv_c"]), r["qn_b"]) for r in trained]
-    )
+    ).select("vec_id", "centroid_id")
 
 
 def embedding_stats(embeddings: DataFrame, dim: int = 64) -> DataFrame:
@@ -555,8 +660,9 @@ def ivf_topk(
     cents = spark.createDataFrame(
         cent_rows, "centroid_id long, qv_c array<long>, qn_b long"
     )
-    assign = _assign(base, cent_rows)
-    corpus = base.join(assign, "vec_id")
+    # r8: fused assignment — centroid_id appended in the scan pipeline
+    # (no fan-out/window/join-back; see with_best_centroid)
+    corpus = with_best_centroid(base, cent_rows)
 
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -664,13 +770,13 @@ def ivf_topk_bigk(
     coarse_rows = _seed_centroid_rows(base, n_coarse)
 
     # fine relation + its coarse cell (fine side streams through the
-    # same Arrow matmul pass as any corpus scan; n_fine rows out)
+    # same fused argmax pass as any corpus scan; n_fine rows out)
     fine = base.filter(F.col("vec_id") < n_fine).select(
         F.col("vec_id").alias("fine_id"),
         F.col("qvec").alias("qv_f"),
         F.col("qnorm2").alias("qn_f"),
     )
-    fine_cells = _assign(
+    fine_cells = with_best_centroid(
         base.filter(F.col("vec_id") < n_fine), coarse_rows
     ).select(
         F.col("vec_id").alias("fine_id"),
@@ -678,41 +784,43 @@ def ivf_topk_bigk(
     )
     fine_in_cell = fine.join(fine_cells, "fine_id")
 
-    # corpus → top-nprobe_coarse coarse cells (narrow: vec_id, coarse_id)
-    vc = score_against_rows(base, coarse_rows, "coarse_id").withColumn(
-        "cosine", F.round(cosine_col(), 9)
+    # corpus → top-nprobe_coarse coarse cells, fused per-row array rank
+    # (r8: the r7 shape fanned the corpus ×n_coarse through Python and
+    # shuffled it for the window; now the only fan-out is the final
+    # ×nprobe_coarse explode and the corpus payload rides along — no
+    # exchange, no join-back)
+    vprobe_full = with_probed_centroids(
+        base, coarse_rows, nprobe_coarse, out_id="coarse_id"
     )
-    wv = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("coarse_id").asc()
-    )
-    vprobe = (
-        vc.withColumn("r", F.row_number().over(wv))
-        .filter(F.col("r") <= nprobe_coarse)
-        .select("vec_id", "coarse_id")
-    )
+    vprobe = vprobe_full.select("vec_id", "coarse_id")
 
-    # bucketed candidate join: (vec × probed cell) ⨝ (fine in cell),
-    # then one vec_id-keyed join back to base for the vector payload —
-    # the only wide shuffle, and the exact structure the closure path
-    # could not express past MAX_CENTROIDS
+    # bucketed candidate join: (vec × probed cell, payload riding along)
+    # ⨝ (fine in cell — an n_fine-row broadcastable relation); the r7
+    # vec_id-keyed join back to base is gone
     acand = (
-        vprobe.join(fine_in_cell, "coarse_id")
-        .join(base, "vec_id")
+        vprobe_full.join(fine_in_cell, "coarse_id")
         .select(
-            "vec_id", "fine_id",
+            "vec_id", "fine_id", "qvec", "qnorm2",
             qdot_pairs(F.col("qvec"), F.col("qv_f")).alias("qd"),
             F.col("qnorm2").alias("qn_a"),
             F.col("qn_f").alias("qn_b"),
         )
         .withColumn("cosine", F.round(cosine_col(), 9))
     )
-    wa = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("fine_id").asc()
-    )
-    index = (
-        acand.withColumn("r", F.row_number().over(wa))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "fine_id")
+    # per-vector argmax as a PARTIAL-AGGREGATING max_by (candidates of
+    # one vec are map-side contiguous, so the agg collapses locally
+    # before the exchange — the r7 window shuffled every candidate row);
+    # ordering struct(cosine, -fine_id) == (cosine desc, fine_id asc),
+    # ties impossible (fine_id unique per vec's candidate set).  The
+    # vector payload rides through (first() over identical values) so
+    # the search below needs no corpus join either.
+    index = acand.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("fine_id"),
+            F.struct(F.col("cosine"), F.negative(F.col("fine_id"))),
+        ).alias("fine_id"),
+        F.first("qvec").alias("qvec"),
+        F.first("qnorm2").alias("qnorm2"),
     )
 
     # query side: coarse probe (reuse vprobe — queries ⊂ corpus), then
@@ -748,7 +856,6 @@ def ivf_topk_bigk(
 
     cand = (
         index.join(F.broadcast(qprobe_fine), "fine_id")
-        .join(base, "vec_id")
         .join(F.broadcast(q), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )

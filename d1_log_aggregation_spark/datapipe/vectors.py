@@ -383,9 +383,8 @@ def semdedup(
     (``oracle.semdedup_sql``) agree bit-for-bit on clusters, pairs, and
     drops."""
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
-    from .ann import kmeans_centroids, score_against_rows
+    from .ann import kmeans_centroids, with_best_centroid
 
     # persisted: feeds the assignment scorer and both pair sides
     base = (
@@ -397,23 +396,17 @@ def semdedup(
     cent_rows = [
         (r["centroid_id"], list(r["qv_c"]), r["qn_b"]) for r in trained
     ]
-    scored = score_against_rows(base, cent_rows, "centroid_id").withColumn(
-        "cosine", F.round(cosine_col(), 9)
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("centroid_id").asc()
-    )
-    # persisted: referenced by both self-join sides and the final output
-    # (Catalyst re-executes un-cached subtrees per reference)
-    asg = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(
-            "vec_id", "centroid_id", F.col("cosine").alias("cos_centroid")
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sided = asg.join(base, "vec_id")
+    # r8: fused argmax assignment — centroid_id + the winner's rounded
+    # cosine appended in the scan pipeline (the r7 shape fanned the
+    # corpus ×k through Python, shuffled it for the window argmax, then
+    # shuffled AGAIN to join the vectors back; see
+    # ann.with_best_centroid).  Persisted: referenced by both self-join
+    # sides and the final output (Catalyst re-executes un-cached
+    # subtrees per reference).
+    sided = with_best_centroid(
+        base, cent_rows, cos_col="cos_centroid"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    asg = sided.select("vec_id", "centroid_id", "cos_centroid")
     a = sided.select(
         F.col("vec_id").alias("vec_a"),
         "centroid_id",
