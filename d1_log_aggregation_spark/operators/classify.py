@@ -32,6 +32,8 @@ network and broadcast addresses are NOT in range for prefixes ≤ 30
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,6 +74,58 @@ def robot_ip_match_join(df: DataFrame, ranges: DataFrame) -> DataFrame:
     return out.fillna({"ip_in_robot_ranges": False})
 
 
+# Combined UA-list width at or past which classify_robots evaluates the
+# alternation regexes once per DISTINCT UA per Arrow batch instead of
+# per event row.  The seed lists (8+8 patterns) stay on the inline
+# rlike plan (no Python stage in the headline pipeline); the
+# reference-width 222/214 lists cross it.
+UA_MEMO_REGEX_THRESHOLD = 64
+
+
+def _ua_flags_memo_col(pat_partial: list[str], pat_full: list[str]):
+    """struct<p boolean, f boolean> column of the two UA-list matches,
+    evaluated ONCE PER DISTINCT UA PER ARROW BATCH (pd.factorize + a
+    scatter back), with both alternations compiled once per task — the
+    guide-§4 memoized-batch shape.  UAs are a dimension-sized universe
+    repeated across millions of events, so this turns O(rows) regex
+    work into O(batch-distinct) without the broadcast-join/lineage
+    recompute a distinct-relation plan would cost.  Patterns must be
+    dialect-neutral regexes — the list contract already requires Java
+    (Spark rlike) ≡ RE2 (DuckDB oracle) behavior, and the synthesized
+    lists use only literals, char classes, \\s and inline alternations,
+    which Python ``re.search`` matches identically (pytest + value
+    oracle pin the equality on every list)."""
+    import re as _re
+
+    # compiled once driver-side; re.Pattern pickles by pattern string,
+    # so workers rebuild it once per deserialized closure, not per row
+    cp = _re.compile(dims.combined_regex(pat_partial))
+    cf = _re.compile(dims.combined_regex(pat_full))
+
+    @F.pandas_udf("p boolean, f boolean")
+    def _flags(ua: pd.Series) -> pd.DataFrame:
+        codes, uniques = pd.factorize(ua.fillna(""))
+        up = np.fromiter(
+            (cp.search(u) is not None for u in uniques),
+            dtype=bool,
+            count=len(uniques),
+        )
+        uf = np.fromiter(
+            (cf.search(u) is not None for u in uniques),
+            dtype=bool,
+            count=len(uniques),
+        )
+        return pd.DataFrame({"p": up[codes], "f": uf[codes]})
+
+    # nondeterministic ONLY as an optimizer fence (the function is a
+    # pure function of ua): both flag columns read fields of the one
+    # struct, and without the fence CollapseProject inlines the UDF
+    # expression into each consumer — two ArrowEvalPython stages doing
+    # identical work (the guide-§4.4 duplication; pytest pins the
+    # single-stage plan)
+    return _flags.asNondeterministic()
+
+
 def classify_robots(
     df: DataFrame,
     events_to_check: tuple[str, ...] = ("read",),
@@ -79,6 +133,7 @@ def classify_robots(
     robot_ranges: DataFrame | None = None,
     full_patterns: list[str] | None = None,
     partial_patterns: list[str] | None = None,
+    ua_flags_memoized: bool | None = None,
 ) -> DataFrame:
     """Adds in_partial_robot_list / in_full_robot_list booleans.
 
@@ -88,8 +143,20 @@ def classify_robots(
 
     ``full_patterns``/``partial_patterns``: override the UA regex lists
     (e.g. dims.*_robot_patterns_fullscale() — the reference-width
-    222/214-entry lists).  Any width stays ONE rlike per list: the
-    alternation is compiled once per task, not per row."""
+    222/214-entry lists).  Any width stays ONE compiled alternation per
+    list, compiled once per task, not per row.
+
+    ``ua_flags_memoized`` (r8): evaluate the two alternations once per
+    DISTINCT UA per Arrow batch (``_ua_flags_memo_col``) instead of a
+    222-branch regex find per event row — the UA universe is
+    dimension-sized (10 distinct at the gate SF against 100k events),
+    so per-row evaluation redoes identical work thousands of times
+    over.  Default (None) auto-enables at ``UA_MEMO_REGEX_THRESHOLD``
+    combined patterns: the cheap seed lists keep the Python-free inline
+    rlike plan (the headline pipeline's only Python stage stays the
+    fused repeat-visit pass), the reference-width lists get the
+    memoized batch pass.  Flags are identical (pure function of the
+    trimmed UA; blank UAs keep their hard false)."""
     drop_cols: list[str] = []
     if do_robot_ip_check and robot_ranges is not None:
         df = robot_ip_match_join(df, robot_ranges)
@@ -98,12 +165,23 @@ def classify_robots(
     ua = F.trim(F.col("ua"))
     ua_blank = F.col("ua").isNull() | (F.col("ua") == "")
 
-    ua_partial = (~ua_blank) & ua.rlike(
-        dims.combined_regex(partial_patterns or dims.PARTIAL_ROBOT_PATTERNS)
-    )
-    ua_full = (~ua_blank) & ua.rlike(
-        dims.combined_regex(full_patterns or dims.FULL_ROBOT_PATTERNS)
-    )
+    pat_partial = partial_patterns or dims.PARTIAL_ROBOT_PATTERNS
+    pat_full = full_patterns or dims.FULL_ROBOT_PATTERNS
+    memoized = ua_flags_memoized
+    if memoized is None:
+        memoized = (
+            len(pat_partial) + len(pat_full) >= UA_MEMO_REGEX_THRESHOLD
+        )
+    if memoized:
+        df = df.withColumn(
+            "_uaflags", _ua_flags_memo_col(pat_partial, pat_full)(ua)
+        )
+        ua_partial = (~ua_blank) & F.col("_uaflags.p")
+        ua_full = (~ua_blank) & F.col("_uaflags.f")
+        drop_cols.append("_uaflags")
+    else:
+        ua_partial = (~ua_blank) & ua.rlike(dims.combined_regex(pat_partial))
+        ua_full = (~ua_blank) & ua.rlike(dims.combined_regex(pat_full))
 
     if do_robot_ip_check:
         both_from_ua = ua_partial & ua_full

@@ -83,9 +83,13 @@ def test_subnetutils_exclusive_bounds(spark):
 
 def test_fullscale_lists_compile_and_match_seed_flags(spark):
     """Reference-width lists (222 full / 214 partial): the alternation
-    must compile (Java regex), stay inside WholeStageCodegen (no Python
-    fallback at real list width), and produce flags identical to the
-    seed lists — the filler patterns match no synthetic UA."""
+    must compile (Java regex), produce flags identical to the seed
+    lists — the filler patterns match no synthetic UA — and take the
+    MEMOIZED batch path (r8): one ArrowEvalPython stage evaluating the
+    alternations once per distinct UA per batch, never a 222-branch
+    regex per event row.  The memoized flags must also equal the
+    per-row inline-rlike evaluation of the SAME fullscale lists (the
+    pre-r8 plan, forced via ua_flags_memoized=False)."""
     from d1_log_aggregation_spark import dims
     from d1_log_aggregation_spark.operators.dedup import dedup_turns
     from d1_log_aggregation_spark.operators.parse import parse_events
@@ -109,15 +113,32 @@ def test_fullscale_lists_compile_and_match_seed_flags(spark):
     big = classify_robots(
         parsed, full_patterns=full, partial_patterns=partial
     )
+    inline = classify_robots(
+        parsed, full_patterns=full, partial_patterns=partial,
+        ua_flags_memoized=False,
+    )
     cols = ["event_id", "in_partial_robot_list", "in_full_robot_list"]
     bdf = big.select(*cols)
     a = sorted(tuple(r) for r in seed.select(*cols).collect())
     b = sorted(tuple(r) for r in bdf.collect())
-    assert a == b
+    c = sorted(tuple(r) for r in inline.select(*cols).collect())
+    assert a == b == c
     assert any(r[1] or r[2] for r in a), "no robot rows in corpus"
     # AQE reports the final (codegen'd) plan only on the EXECUTED df;
-    # the adaptive plan string marks WholeStageCodegen spans as "*(n)"
+    # its toString() appends the pre-AQE "Initial Plan" section too, so
+    # count nodes in the final section only
     plan = bdf._jdf.queryExecution().executedPlan().toString()
-    assert re.search(r"\*\(\d+\) Project", plan), plan[:400]
-    assert "RLIKE" in plan  # the alternation folded into the projection
-    assert "EvalPython" not in plan  # the 222-term rlike stays JVM-side
+    final = plan.split("== Initial Plan ==")[0]
+    assert re.search(r"\*\(\d+\) Project", final), final[:400]
+    # fullscale path: exactly one memoized Arrow stage (the
+    # asNondeterministic fence pins single evaluation — guide §4.4
+    # duplication), no rlike per row
+    assert final.count("ArrowEvalPython") == 1
+    # no per-row UA alternation left in the plan (the only RLIKE nodes
+    # are parse's ip-validation regex, which never mentions the lists)
+    assert "bingbot" not in final and "facebookexternalhit" not in final
+    # seed path keeps the Python-free inline rlike plan (the headline
+    # pipeline's only Python stage must stay the fused repeat-visit pass)
+    seed_plan = seed.select(*cols)._jdf.queryExecution().executedPlan(
+    ).toString()
+    assert "RLIKE" in seed_plan and "EvalPython" not in seed_plan

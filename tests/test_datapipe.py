@@ -1698,3 +1698,64 @@ def test_ivf_cache_registry_bounded(spark):
     released = ann.release_ivf_caches()
     assert released <= ann._MAX_IVF_BASE_CACHES
     assert not ann._IVF_BASE_CACHES
+
+
+def test_fused_centroid_assignment_matches_window_argmax(spark):
+    """r8 optimization equivalence pin: the fused per-row argmax
+    (ann.with_best_centroid — batched-matmul dots array + JVM
+    array_max/array_position) must reproduce the r7 fan-out → window
+    rank-1 assignment (ann._assign) exactly, winner id AND rounded
+    cosine, on the real embeddings — including any rounded-cosine ties
+    (tie-break centroid asc).  Same for the top-N probe generalization
+    (with_probed_centroids vs the window top-N)."""
+    from pyspark.sql import Window
+
+    from d1_log_aggregation_spark.datapipe import ann
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = ann.with_qvec(embs).select("vec_id", "qvec", "qnorm2")
+    cent_rows = ann._seed_centroid_rows(base, 16)
+
+    old = {
+        (r["vec_id"], r["centroid_id"])
+        for r in ann._assign(base, cent_rows).collect()
+    }
+    new = {
+        (r["vec_id"], r["centroid_id"])
+        for r in ann.with_best_centroid(base, cent_rows)
+        .select("vec_id", "centroid_id").collect()
+    }
+    assert new == old and len(new) == base.count()
+
+    # winner cosine equality (semdedup's cos_centroid output)
+    scored = ann.score_against_rows(base, cent_rows, "centroid_id").withColumn(
+        "cosine", F.round(ann.cosine_col(), 9)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    old_cos = {
+        r["vec_id"]: r["cosine"]
+        for r in scored.withColumn("r", F.row_number().over(w))
+        .filter("r = 1").collect()
+    }
+    new_cos = {
+        r["vec_id"]: r["cos_centroid"]
+        for r in ann.with_best_centroid(
+            base, cent_rows, cos_col="cos_centroid"
+        ).collect()
+    }
+    assert new_cos == old_cos
+
+    # top-N probes (bigk's coarse probe stage), N = 3
+    old_probes = {
+        (r["vec_id"], r["centroid_id"])
+        for r in scored.withColumn("r", F.row_number().over(w))
+        .filter("r <= 3").collect()
+    }
+    new_probes = {
+        (r["vec_id"], r["cid"])
+        for r in ann.with_probed_centroids(base, cent_rows, 3, out_id="cid")
+        .select("vec_id", "cid").collect()
+    }
+    assert new_probes == old_probes
