@@ -1138,28 +1138,31 @@ def _q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order matters: the driver's correctness gate checks the
-    FIRST 50 entries.  Round-7 rotation: the window holds (a) the FIVE
-    queries NEW this round (ann_ivf_bigk, bpe_merges,
-    harvest_incremental, bpe_encoded_stats, corpus_drift) and (b) 45 of
-    the 50 entries whose latest driver row is r5 (exactly the set
-    CORRECTNESS_r06 did NOT cover).  The registry grew to 105 while the
-    driver window stays 50, so the two-round-union invariant relaxes to
-    a THREE-round rotation for the overflow: five r5-latest entries no
-    longer fit — vocab_topk / top_pids_per_role / role_event_pivot /
-    sink_role_rollup / user_retention (chosen because they are simple
-    single-agg SQL untouched since r5) sit LAST, stay green in every
-    pytest oracle-gate run and the committed SWEEP artifact, and go
-    FIRST in round 8's window.  Entries 51-100 are the round-6
-    driver-green set."""
+    FIRST 50 entries.  Round-8 rotation (VERDICT r7 item 2, registry
+    FROZEN at 105): the window LEADS with the five r5-stale
+    three-round-rotation tail queries (vocab_topk, top_pids_per_role,
+    role_event_pivot, sink_role_rollup, user_retention — their last
+    driver row is r5; r6/r7 windows could not fit them), then holds the
+    queries whose operators round 8 OPTIMIZED (bpe_merges +
+    bpe_encoded_stats, the fused-assignment ANN/semdedup family,
+    robot_flags_fullscale) and the rest of the r7 window.  Every entry
+    past the window was driver-green in r6 or r7 and is re-verified by
+    every pytest oracle-gate run and the committed SWEEP artifact."""
     return {
 
-        # --- new in round 7 ----------------------------------------------
+        # --- r5-stale rotation tail — FIRST this round (VERDICT r7 #2) ----
+        "vocab_topk": _q_vocab_topk,
+        "top_pids_per_role": _q_top_pids_per_role,
+        "role_event_pivot": _q_role_event_pivot,
+        "sink_role_rollup": _q_sink_role_rollup,
+        "user_retention": _q_user_retention,
+        # --- r7-new entries + operators optimized in round 8 --------------
         "ann_ivf_bigk": _q_ann_ivf_bigk,
         "bpe_merges": _q_bpe_merges,
         "harvest_incremental": _q_harvest_incremental,
         "bpe_encoded_stats": _q_bpe_encoded_stats,
         "corpus_drift": _q_corpus_drift,
-        # --- rotated in: entries whose latest driver row is r5 ------------
+        # --- remainder of the r7 window -----------------------------------
         "paragraph_dedup": _q_paragraph_dedup,
         "entropy_stats": _q_entropy_stats,
         "lm_perplexity": _q_lm_perplexity,
@@ -1257,12 +1260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_deduped": _q_corpus_deduped,
         "training_corpus": _q_training_corpus,
         "minhash_signatures": _q_minhash_sigs,
-        # --- r5-green, deferred to the FRONT of round 8's window ----------
-        "vocab_topk": _q_vocab_topk,
-        "top_pids_per_role": _q_top_pids_per_role,
-        "role_event_pivot": _q_role_event_pivot,
-        "sink_role_rollup": _q_sink_role_rollup,
-        "user_retention": _q_user_retention,
     }
 
 
