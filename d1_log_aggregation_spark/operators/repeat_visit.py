@@ -34,6 +34,8 @@ reference's size-capped purge (LogHarvesterTask.java:395-429).
 
 from __future__ import annotations
 
+from typing import Iterator, Tuple
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -315,27 +317,35 @@ def _flag_core(
 
     # PASS-THROUGH design: one hash shuffle of the full frame on (ip, pid),
     # flag computed inline during the partition scan.  The narrow-scan
-    # alternative (see flag_repeat_visits) adds two wide exchanges; an
-    # early mapInPandas prototype measured it ~1.7× slower at 6.4M rows,
-    # and though the r6 mapInArrow remeasure shows it faster on THIS
-    # box (local sort width dominates; BASELINE.md r6), pass-through
-    # stays the default: it moves each byte across the exchange layer
-    # exactly once — the scarce resource on a real network-bound
-    # cluster — while narrow_scan is the hot-key configuration.
+    # alternative (see flag_repeat_visits) adds two wide exchanges; the
+    # pass-through stays the default because it moves each byte across
+    # the exchange layer exactly once — the scarce resource on a real
+    # network-bound cluster — while narrow_scan is the hot-key
+    # configuration.
     #
-    # Python touches ONLY ints/bools, zero-copy via mapInArrow:
+    # r8: the Python boundary is now COLUMN-shaped, not frame-shaped.
+    # The r7 mapInArrow pass shipped EVERY column (text, ua, … ~300 B/row)
+    # through the Arrow boundary just so Python could read 3 narrow ones;
+    # profiled at 1M rows the repeat-visit stage was +2.6 s of a 4.4 s
+    # pipeline, dominated by that round trip.  Two SCALAR_ITER pandas
+    # UDFs in one projection (one ArrowEvalPython stage) now carry ONLY
+    # (_rn, _checked, ts) → is_repeat_visit and (lat, lon) → geohash_9
+    # across the boundary (~25 B/row); the JVM keeps the payload and
+    # splices the returned columns back positionally.  Semantics are
+    # unchanged:
     # - the JVM window row_number marks key boundaries (rn == 1 ⇔ new
-    #   (ip, pid) group), so the Python loop never compares strings;
-    #   Catalyst reuses the window's exchange+sort for the scan order, so
-    #   this costs no extra shuffle;
-    # - all payload columns (text, ua, …) pass through as untouched Arrow
-    #   buffers — no pandas conversion (measured ~2× total-stage win over
-    #   mapInPandas with wide rows).
+    #   (ip, pid) group), so the Python scan never compares strings, and
+    #   Catalyst reuses the window's exchange+sort for the scan order;
+    # - ArrowEvalPython streams a task's batches IN CHILD ORDER through
+    #   one Python worker, and the iterator UDF form holds the anchor
+    #   state across batches of the partition — the same contract the
+    #   mapInArrow generator had;
+    # - the UDFs are marked nondeterministic, which they genuinely are
+    #   (order/partition-dependent), and which fences the optimizer from
+    #   duplicating them under pushed filters (guide §4.4) or reordering
+    #   them off the sorted window output.
     # Non-checked rows ride along: they neither read nor write anchor
-    # state (the reference's early return, LogEntrySolrItem.java:346-350)
-    # but must not break rn, so the window is over checked rows' keys with
-    # unchecked rows assigned rn = -1.
-    import pyarrow as pa
+    # state (the reference's early return, LogEntrySolrItem.java:346-350).
     from pyspark.sql import Window
 
     w = Window.partitionBy("ip", "pid").orderBy("ts", *order_tiebreak)
@@ -345,55 +355,48 @@ def _flag_core(
             "_rn": F.row_number().over(w),
         }
     )
-
     names = keyed.schema.names
-    i_rn = names.index("_rn")
-    i_chk = names.index("_checked")
-    i_ts = names.index("ts")
     do_geo = fuse_geohash and "lat" in names and "lon" in names
-    i_lat = names.index("lat") if do_geo else -1
-    i_lon = names.index("lon") if do_geo else -1
-    out_fields = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields
-    )
-    out_schema = f"{out_fields}, is_repeat_visit boolean"
-    if do_geo:
-        out_schema += ", geohash_9 string"
 
-    def scan_batches(batches):
+    @F.pandas_udf("boolean")
+    def _flag(
+        it: Iterator[Tuple[pd.Series, pd.Series, pd.Series]]
+    ) -> Iterator[pd.Series]:
         # state across Arrow batches of one partition; a key's rows are
         # contiguous (hash-clustered + sorted), so "rn == 1" marks a new
         # key even when that first row is unchecked (which must still
         # reset the anchor window for the key)
         state = (0, False, 0)
-        for rb in batches:
-            rn = rb.column(i_rn).to_numpy(zero_copy_only=False)
-            chk = rb.column(i_chk).to_numpy(zero_copy_only=False)
-            ts_us = (
-                rb.column(i_ts)
-                .to_numpy(zero_copy_only=False)
-                .astype("datetime64[us]")
-                .astype(np.int64)
+        for rn, chk, ts in it:
+            rn_a = rn.to_numpy(dtype=np.int64, copy=False)
+            chk_a = chk.to_numpy(dtype=bool, copy=False)
+            ts_us = ts.to_numpy(copy=False).astype("datetime64[us]").astype(
+                np.int64
             )
             out, state = scan_flags_vectorized(
-                rn, chk, ts_us, interval_us, state
+                rn_a, chk_a, ts_us, interval_us, state
             )
-            cols = list(rb.columns) + [pa.array(out, pa.bool_())]
-            out_names = names + ["is_repeat_visit"]
-            if do_geo:
-                from ..functions.geohash import geohash_encode_np
+            yield pd.Series(out)
 
-                lat = rb.column(i_lat).to_numpy(zero_copy_only=False)
-                lon = rb.column(i_lon).to_numpy(zero_copy_only=False)
-                gh = geohash_encode_np(
-                    lat.astype(np.float64), lon.astype(np.float64)
+    cols = {"is_repeat_visit": _flag.asNondeterministic()("_rn", "_checked", "ts")}
+    if do_geo:
+
+        @F.pandas_udf("string")
+        def _gh(
+            it: Iterator[Tuple[pd.Series, pd.Series]]
+        ) -> Iterator[pd.Series]:
+            from ..functions.geohash import geohash_encode_np
+
+            for lat, lon in it:
+                yield pd.Series(
+                    geohash_encode_np(
+                        lat.to_numpy(dtype=np.float64, na_value=np.nan),
+                        lon.to_numpy(dtype=np.float64, na_value=np.nan),
+                    )
                 )
-                cols.append(pa.array(gh, pa.string()))
-                out_names = out_names + ["geohash_9"]
-            yield pa.RecordBatch.from_arrays(cols, names=out_names)
 
-    flagged = keyed.mapInArrow(scan_batches, schema=out_schema)
-    return flagged.drop("_checked", "_rn")
+        cols["geohash_9"] = _gh.asNondeterministic()("lat", "lon")
+    return keyed.withColumns(cols).drop("_checked", "_rn")
 
 
 # ---- Oracle-side (DuckDB) equivalent: recursive CTE scan ------------------

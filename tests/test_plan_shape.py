@@ -61,18 +61,36 @@ def test_narrow_scan_plan_excludes_payload_from_hot_window(spark):
     stage and the (ip, pid) window exchange feeding it must carry ONLY
     the scan columns — no text/ua payload in the single-task-per-key
     sorted partition — and the flag must come back via a join on
-    event_id, not a second wide window."""
+    event_id, not a second wide window.  Since r8 the Python stage is
+    an ArrowEvalPython of column UDFs (only the scan inputs cross the
+    boundary), not a full-frame MapInArrow."""
     routed = run_from_dir(
         spark, SF, PipelineConfig(repeat_scan_narrow=True)
     )
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     arrow = [
-        line for line in plan.splitlines() if "MapInArrow" in line
+        line for line in plan.splitlines() if "ArrowEvalPython" in line
     ]
     assert arrow, "narrow plan lost the Arrow scan stage"
     for line in arrow:
         assert "text#" not in line and "ua#" not in line, line
+
+
+def test_wide_scan_python_boundary_is_column_shaped(spark):
+    """r8: even the WIDE (pass-through) repeat-visit configuration must
+    keep payload columns out of the Python boundary — the flag/geohash
+    UDFs read only (_rn, _checked, ts) and (lat, lon); text/ua stay in
+    the JVM (the r7 MapInArrow pass shipped every column)."""
+    routed = run_from_dir(spark, SF, PipelineConfig())
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    arrow = [
+        line for line in plan.splitlines() if "ArrowEvalPython" in line
+    ]
+    assert arrow, "pipeline lost its Python scan stage"
+    for line in arrow:
+        assert "text#" not in line and "ua#" not in line, line
+    assert "MapInArrow" not in plan
 
 
 def test_datapipe_pair_plans_never_cartesian(spark):
