@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..scanio import ensure_scan_parallelism
+
 # fixed MinHash permutation constants: a < 2^20 keeps a*h below 2^52 —
 # exact in int64 on both engines (and even in a double)
 MINHASH_A = [
@@ -117,6 +119,7 @@ def shingles_sql(text_col: str, k: int = 3) -> str:
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, canonical_id, group_size) for every doc in a dup group >1.
     canonical = min doc_id (deterministic survivor)."""
+    docs = ensure_scan_parallelism(docs)
     fp = docs.select(
         "doc_id", F.md5(norm_text(F.col(text_col))).alias("fingerprint")
     )
@@ -152,6 +155,7 @@ def _shingle_index(
     the index exactly once — the same internal-persist pattern Spark
     MLlib uses (e.g. ALS/KMeans).  The cache lives until session end;
     terminal materializers are the intended callers."""
+    docs = ensure_scan_parallelism(docs)
     sh = (
         docs.select(
             "doc_id", F.split(norm_text(F.col(text_col)), " ").alias("_toks")
@@ -403,6 +407,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): per-token 64-bit hash (two md5-derived 32-bit
     halves), ±1 vote per bit, packed into a signed int64 (bit 63 enters as
     INT64_MIN so the sum stays in-range on both engines)."""
+    docs = ensure_scan_parallelism(docs)
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -790,6 +795,7 @@ def split_leakage(
     most once), eval side is ~the eval ppm share of the corpus, and the
     per-doc rollup shuffles only eval-sized data.  Two corpus scans (one
     per split side) — each side needs its own shingling pass anyway."""
+    docs = ensure_scan_parallelism(docs)
     from .sampling import split_assign
 
     assigned = split_assign(docs, splits_ppm, salt)
@@ -854,6 +860,7 @@ def paragraph_dedup(
 
     Reference parity: no analog in d1_log_aggregation (log pipeline);
     training-data-pipeline first-class op (SURVEY §2 extension family)."""
+    docs = ensure_scan_parallelism(docs)
     toks = F.filter(
         F.split(norm_text(F.col(text_col)), " "), lambda x: x != ""
     )

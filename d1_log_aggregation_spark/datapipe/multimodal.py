@@ -44,7 +44,6 @@ N_CHANNELS = 3
 N_BINS = 4
 HEADER_BYTES = 4
 
-
 def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the synthetic binary payload + typed metadata columns.
     In production this is the Iceberg scan of (payload binary,
@@ -73,7 +72,6 @@ def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         height.alias("height"),
     )
 
-
 def _feature_schema(n_feat: int) -> str:
     feat_cols = ", ".join(f"feat_{i} double" for i in range(n_feat))
     hist_cols = ", ".join(
@@ -86,7 +84,6 @@ def _feature_schema(n_feat: int) -> str:
         "n_pix_bytes long, pix_mean double, pix_min int, pix_max int, "
         f"{feat_cols}, {hist_cols}"
     )
-
 
 def extract_features(
     media: DataFrame, n_feat: int = N_FEAT, fake: bool = True
@@ -195,12 +192,10 @@ def extract_features(
 
     return media.mapInPandas(extract, schema=schema)
 
-
 def multimodal_features(
     docs: DataFrame, n_feat: int = N_FEAT
 ) -> DataFrame:
     return extract_features(with_payload(docs), n_feat=n_feat, fake=True)
-
 
 # --------------------------------------------------------------------------
 # Audio-like modality: variable-length int16 waveform container (r3
@@ -212,7 +207,6 @@ def multimodal_features(
 AUDIO_MAGIC = 0xA1
 AUDIO_HEADER_BYTES = 4
 SAMPLE_RATES = [8000, 16000, 22050, 44100]
-
 
 def with_audio_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach a synthetic audio container + typed metadata.  Layout
@@ -238,13 +232,11 @@ def with_audio_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         rate_code.alias("rate_code"),
     )
 
-
 AUDIO_SCHEMA = (
     "doc_id long, rate_code int, sample_rate int, n_samples long, "
     "peak int, mean_s double, rms double, n_zero_cross long, "
     "duration_us long"
 )
-
 
 def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """audio payload → decoded header + waveform stats (peak / mean /
@@ -348,10 +340,8 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     return media.mapInPandas(extract, schema=AUDIO_SCHEMA)
 
-
 def multimodal_audio_features(docs: DataFrame) -> DataFrame:
     return extract_audio_features(with_audio_payload(docs), fake=True)
-
 
 # ---- video modality: frame-sampled decode ----------------------------------
 
@@ -366,7 +356,6 @@ VIDEO_SCHEMA = (
     "frame_idx int, frame_mean double, frame_min int, frame_max int, "
     "f0 double"
 )
-
 
 def with_video_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Third container modality: a frame-sequence payload.
@@ -398,7 +387,6 @@ def with_video_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.unhex(F.lower(F.concat(header_hex, frames_hex))).alias("payload"),
     )
-
 
 def extract_video_frames(
     media: DataFrame, stride: int = VIDEO_STRIDE, fake: bool = True
@@ -491,15 +479,12 @@ def extract_video_frames(
 
     return media.mapInPandas(extract, schema=VIDEO_SCHEMA)
 
-
 def multimodal_video_frames(docs: DataFrame) -> DataFrame:
     return extract_video_frames(with_video_payload(docs), fake=True)
-
 
 # ---- image resize (nearest-neighbor resample) -------------------------------
 
 RESIZE_TARGET = 8
-
 
 def resize_images(
     media: DataFrame, target: int = RESIZE_TARGET, fake: bool = True
@@ -561,7 +546,6 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(extract, schema=schema)
-
 
 def multimodal_resized(docs: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     return resize_images(with_payload(docs), target=target, fake=True)

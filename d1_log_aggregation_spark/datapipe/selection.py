@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..scanio import ensure_scan_parallelism
+
 from .dedup import (
     SHINGLE_KEY_SQL,
     hash32,
@@ -102,6 +104,7 @@ def dsir_weights(
     ratio table that BROADCASTS to the scoring join; the per-doc rollup
     is the explode shuffle's own partitioning.  B grows the model, never
     the shuffle: 10k buckets is still a broadcast."""
+    docs = ensure_scan_parallelism(docs)
     feat = _ngram_rows(docs, text_col, 2, ["doc_id", "source"]).select(
         "doc_id",
         "source",
@@ -216,6 +219,7 @@ def dup_ngram_stats(
     map-side by the partial aggregation, never funneled through one
     task (no window function anywhere).  Keys are 63-bit ints, not gram
     strings: fixed-width shuffle rows (the shingle_key rationale)."""
+    docs = ensure_scan_parallelism(docs)
     win = (
         _ngram_rows(docs, text_col, k, ["doc_id"])
         .select("doc_id", shingle_key(F.col("gram")).alias("g"))

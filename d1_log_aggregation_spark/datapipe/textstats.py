@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..scanio import ensure_scan_parallelism
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
 # the standard byte-pair pre-split shape (public GPT-2 style, simplified
 # to ASCII classes so Java and RE2 regex dialects agree).
@@ -51,6 +53,7 @@ def with_textstats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds: n_ws_tokens, n_bpe_tokens, n_alpha, n_digit, n_punct,
     alpha_ratio, punct_ratio, stopword_ratio, mean_token_len, quality_ok.
     """
+    docs = ensure_scan_parallelism(docs)
     t = _norm(F.col(text_col))
     n_ws = F.when(t == "", F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
@@ -167,6 +170,7 @@ def winnow_fingerprints(
     positional fingerprint).  Output ≈ 2/(w+1) of the k-gram stream.
     Docs beyond 2^26 k-grams must be pre-chunked (the encoding owns 26
     position bits); at that length chunking is what MOSS does anyway."""
+    docs = ensure_scan_parallelism(docs)
     from .dedup import hash32, norm_text
 
     toks = docs.select(
@@ -325,6 +329,7 @@ def scrub_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     → <IP>; adds per-doc replacement counts.  Pure codegen'd
     regexp_replace/regexp_count — scan-local, no shuffle, the standard
     pre-training scrub stage."""
+    docs = ensure_scan_parallelism(docs)
     t = F.col(text_col)
     return docs.withColumns(
         {
@@ -375,6 +380,7 @@ def vocab_topk(
     (count desc, token asc).  One explode + one groupBy(token); at
     corpus scale the groupBy output is vocabulary-sized (≪ corpus), and
     the top-k is a tree-aggregated TakeOrdered, not a global sort."""
+    docs = ensure_scan_parallelism(docs)
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -436,6 +442,7 @@ def merge_pair_counts(
     transform/sequence (guarded: Spark's sequence(1, 0) DESCENDS), one
     explode + groupBy(pair), then tree-aggregated top-k — the same
     vocabulary-sized shapes as vocab_topk."""
+    docs = ensure_scan_parallelism(docs)
     toks_col = F.filter(
         F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
     )
@@ -633,6 +640,7 @@ def bpe_merges(
     vocabulary-sized, the same bound the encoder side
     (``bpe_encode_stats``) already relies on for its distinct-word
     relation.  Stops early when no adjacent pair remains."""
+    docs = ensure_scan_parallelism(docs)
     toks = docs.select(
         F.explode(
             F.filter(
@@ -790,6 +798,7 @@ def bpe_encode_stats(
     sentinel-string merge application exact).  Docs with no surviving
     words emit no row (both engines agree by inner-join construction).
     """
+    docs = ensure_scan_parallelism(docs)
     mdf = merges if merges is not None else bpe_merges(
         docs, text_col, n_merges
     )
@@ -1115,6 +1124,7 @@ def token_quantiles(
     Identical result: the rank-r order statistic is exactly
     min{v : cum(v) ≥ r}.  The DuckDB oracle deliberately keeps the
     row_number() formulation — independent derivation, same answer."""
+    docs = ensure_scan_parallelism(docs)
     pcts = pcts or QUANTILE_PCTS
     stats = with_lang_id(with_textstats(docs, text_col), text_col)
     return grouped_exact_quantiles(
@@ -1164,6 +1174,7 @@ def doc_keywords(
     Plan: one explode → (doc, token) counts → broadcast-join the (small,
     vocabulary-sized) df table → per-doc window top-k.  The window
     partitions by doc_id (high-cardinality, skew-free)."""
+    docs = ensure_scan_parallelism(docs)
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1242,6 +1253,7 @@ def mixture_weights(
     Plan shape: one corpus shuffle (groupBy lang_id); the normalizing
     window runs over the #languages-sized aggregate, a single tiny
     partition by construction."""
+    docs = ensure_scan_parallelism(docs)
     stats = with_lang_id(with_textstats(docs, text_col), text_col)
     grp = stats.groupBy("lang_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1402,6 +1414,7 @@ def quality_rule_stats(
     wrong for its script, not that its documents are bad).  Rule
     predicates are exactly with_textstats' quality_ok conjuncts; one
     language-cardinality aggregate, all integer counts."""
+    docs = ensure_scan_parallelism(docs)
     st = with_lang_id(with_textstats(docs, text_col), text_col)
     fails = {
         "n_fail_minlen": ~(F.col("n_ws_tokens") >= 10),
@@ -1476,6 +1489,7 @@ def token_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
     normalized form.  One scan + one segment-cardinality aggregate; all
     sums exact int64, ratios single divisions of exact ints (NULL when
     the denominator is 0, both engines)."""
+    docs = ensure_scan_parallelism(docs)
     st = with_textstats(docs, text_col)
     out = st.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1554,6 +1568,7 @@ def filter_funnel(docs: DataFrame, text_col: str = "text") -> DataFrame:
     never k filtered scans.  Integer counts + one ratio per stage, so
     both engines agree exactly; an EMPTY corpus yields k stages of
     docs_in = 0 with NULL survival_rate in both."""
+    docs = ensure_scan_parallelism(docs)
     st = with_textstats(docs, text_col)
     ok = {
         "minlen": F.col("n_ws_tokens") >= 10,
@@ -1782,6 +1797,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Reference parity: quality filtering has no analog in
     d1_log_aggregation (log pipeline); this is a training-data-pipeline
     first-class op (SURVEY §2 extension family)."""
+    docs = ensure_scan_parallelism(docs)
     toks_col = F.filter(
         F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
     )
@@ -2063,6 +2079,7 @@ def entropy_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     formulation would shuffle a ×|doc| character relation for the same
     answer.  Entropy is written ``0.0 - Σ`` in BOTH engines so the
     all-one-symbol doc yields +0.0 (not IEEE -0.0) on each side."""
+    docs = ensure_scan_parallelism(docs)
     s = _norm_ws(F.col(text_col))
     base = docs.select("doc_id", s.alias("_s")).where(F.length("_s") >= 1)
     n = F.length(F.col("_s")).cast("long")
@@ -2173,6 +2190,7 @@ def lm_perplexity(
     two hash joins on the bigram/history keys (vocabulary-sized build
     sides — NOT broadcast) plus a 1-row broadcast of V, then a per-doc
     rollup.  No window, no Python, no driver-side model state."""
+    docs = ensure_scan_parallelism(docs)
     toks_col = F.filter(
         F.split(_norm_ws(F.col(text_col)), " "), lambda x: x != ""
     )
@@ -2295,6 +2313,7 @@ def corpus_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     unpartitioned window over THAT bounded relation (the node_staleness
     single-derivation pattern: the corpus is scanned exactly once; an
     agg-joined-back form would execute the scan twice)."""
+    docs = ensure_scan_parallelism(docs)
     st = with_lang_id(with_textstats(docs, text_col), text_col)
     agg = st.groupBy("source", "lang_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -1497,9 +1497,11 @@ def test_bpe_merges_local_job_count_constant_in_n_merges(spark):
     finally:
         sc.setJobGroup(None, None)
     ids = sc.statusTracker().getJobIdsForGroup("bpe_local_jobcount")
-    # one (word, cnt) aggregation + the local-relation materialization —
-    # independent of the 64 requested merge rounds
-    assert 0 < len(ids) <= 3
+    # the (word, cnt) aggregation's AQE stages (incl. the scan-repair
+    # round-robin) + the local-relation materialization — a small
+    # constant, independent of the 64 requested merge rounds (the r7
+    # loop launched 2 jobs PER round)
+    assert 0 < len(ids) <= 5
 
 
 def test_bpe_encode_stats_matches_python_twin(spark):

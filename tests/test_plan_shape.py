@@ -163,14 +163,32 @@ def test_broadcast_dim_sizes_are_dimension_tables(spark):
 
 
 def test_entropy_stats_plan_has_zero_exchanges(spark):
-    """entropy_stats is per-row only: the fixed-alphabet replace()
-    counting must compile to a pure scan→project plan — any Exchange
-    means someone re-introduced an explode-to-chars relation."""
+    """entropy_stats is per-row only: on a HEALTHY input (partitions ≥
+    cores — any real table) the fixed-alphabet replace() counting must
+    compile to a pure scan→project plan — any Exchange means someone
+    re-introduced an explode-to-chars relation.  On a pathologically
+    under-split input (the single-row-group test file) the r8
+    scan-parallelism repair may add exactly ONE round-robin exchange
+    (guide §2.5 input-skew remedy) and never a hash/key exchange."""
     from d1_log_aggregation_spark.datapipe.textstats import entropy_stats
 
     docs = spark.read.parquet(SF + "/documents.parquet")
-    plan = plan_of(entropy_stats(docs))
-    assert "Exchange" not in plan, plan[:2000]
+    healthy = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    phys = (
+        entropy_stats(healthy)._jdf.queryExecution().executedPlan()
+        .toString()
+    )
+    # the input's own repartition is the only exchange; entropy adds none
+    assert phys.count("Exchange") <= 1, phys[:2000]
+    assert "hashpartitioning" not in phys, phys[:2000]
+
+    raw = (
+        entropy_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning" not in raw, raw[:2000]
+    assert raw.count("Exchange") <= 1  # the repair round-robin only
 
 
 def test_paragraph_dedup_plan_partial_agg_no_window(spark):
