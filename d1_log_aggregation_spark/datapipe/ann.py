@@ -253,36 +253,6 @@ def with_best_centroid(
     return out.withColumns(cols).drop("_cosr", "_p")
 
 
-def with_probed_centroids(
-    base: DataFrame,
-    cent_rows: list,
-    nprobe: int,
-    out_id: str = "centroid_id",
-) -> DataFrame:
-    """(base columns…, <out_id>): each row exploded to its top-``nprobe``
-    centroids under (rounded cosine desc, centroid asc) — the top-N
-    generalization of ``with_best_centroid``.  The ranking happens in a
-    per-row array sort (key = struct(-cosine, centroid_id), ascending),
-    so the corpus never shuffles and the only fan-out is the final
-    ×nprobe explode of the chosen ids."""
-    rows = sorted(cent_rows, key=lambda r: r[0])
-    ids = F.array(*[F.lit(int(r[0])) for r in rows])
-    cosr = _rounded_cosines_col(rows)
-    ranked = F.array_sort(
-        F.transform(
-            cosr,
-            lambda c, i: F.struct(
-                F.negative(c).alias("nc"),
-                F.element_at(ids, i + F.lit(1)).alias("id"),
-            ),
-        )
-    )
-    probes = F.transform(
-        F.slice(ranked, 1, nprobe), lambda s: s["id"]
-    )
-    return base.withColumn(out_id, F.explode(probes))
-
-
 def _seed_centroid_rows(base: DataFrame, n_centroids: int) -> list:
     return [
         (r["vec_id"], list(r["qvec"]), r["qnorm2"])
@@ -770,13 +740,13 @@ def ivf_topk_bigk(
     coarse_rows = _seed_centroid_rows(base, n_coarse)
 
     # fine relation + its coarse cell (fine side streams through the
-    # same fused argmax pass as any corpus scan; n_fine rows out)
+    # same Arrow matmul pass as any corpus scan; n_fine rows out)
     fine = base.filter(F.col("vec_id") < n_fine).select(
         F.col("vec_id").alias("fine_id"),
         F.col("qvec").alias("qv_f"),
         F.col("qnorm2").alias("qn_f"),
     )
-    fine_cells = with_best_centroid(
+    fine_cells = _assign(
         base.filter(F.col("vec_id") < n_fine), coarse_rows
     ).select(
         F.col("vec_id").alias("fine_id"),
@@ -784,43 +754,41 @@ def ivf_topk_bigk(
     )
     fine_in_cell = fine.join(fine_cells, "fine_id")
 
-    # corpus → top-nprobe_coarse coarse cells, fused per-row array rank
-    # (r8: the r7 shape fanned the corpus ×n_coarse through Python and
-    # shuffled it for the window; now the only fan-out is the final
-    # ×nprobe_coarse explode and the corpus payload rides along — no
-    # exchange, no join-back)
-    vprobe_full = with_probed_centroids(
-        base, coarse_rows, nprobe_coarse, out_id="coarse_id"
+    # corpus → top-nprobe_coarse coarse cells (narrow: vec_id, coarse_id)
+    vc = score_against_rows(base, coarse_rows, "coarse_id").withColumn(
+        "cosine", F.round(cosine_col(), 9)
     )
-    vprobe = vprobe_full.select("vec_id", "coarse_id")
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("coarse_id").asc()
+    )
+    vprobe = (
+        vc.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= nprobe_coarse)
+        .select("vec_id", "coarse_id")
+    )
 
-    # bucketed candidate join: (vec × probed cell, payload riding along)
-    # ⨝ (fine in cell — an n_fine-row broadcastable relation); the r7
-    # vec_id-keyed join back to base is gone
+    # bucketed candidate join: (vec × probed cell) ⨝ (fine in cell),
+    # then one vec_id-keyed join back to base for the vector payload —
+    # the only wide shuffle, and the exact structure the closure path
+    # could not express past MAX_CENTROIDS
     acand = (
-        vprobe_full.join(fine_in_cell, "coarse_id")
+        vprobe.join(fine_in_cell, "coarse_id")
+        .join(base, "vec_id")
         .select(
-            "vec_id", "fine_id", "qvec", "qnorm2",
+            "vec_id", "fine_id",
             qdot_pairs(F.col("qvec"), F.col("qv_f")).alias("qd"),
             F.col("qnorm2").alias("qn_a"),
             F.col("qn_f").alias("qn_b"),
         )
         .withColumn("cosine", F.round(cosine_col(), 9))
     )
-    # per-vector argmax as a PARTIAL-AGGREGATING max_by (candidates of
-    # one vec are map-side contiguous, so the agg collapses locally
-    # before the exchange — the r7 window shuffled every candidate row);
-    # ordering struct(cosine, -fine_id) == (cosine desc, fine_id asc),
-    # ties impossible (fine_id unique per vec's candidate set).  The
-    # vector payload rides through (first() over identical values) so
-    # the search below needs no corpus join either.
-    index = acand.groupBy("vec_id").agg(
-        F.max_by(
-            F.col("fine_id"),
-            F.struct(F.col("cosine"), F.negative(F.col("fine_id"))),
-        ).alias("fine_id"),
-        F.first("qvec").alias("qvec"),
-        F.first("qnorm2").alias("qnorm2"),
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("fine_id").asc()
+    )
+    index = (
+        acand.withColumn("r", F.row_number().over(wa))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "fine_id")
     )
 
     # query side: coarse probe (reuse vprobe — queries ⊂ corpus), then
@@ -856,6 +824,7 @@ def ivf_topk_bigk(
 
     cand = (
         index.join(F.broadcast(qprobe_fine), "fine_id")
+        .join(base, "vec_id")
         .join(F.broadcast(q), "query_id")
         .filter(F.col("vec_id") != F.col("query_id"))
     )

@@ -1708,8 +1708,7 @@ def test_fused_centroid_assignment_matches_window_argmax(spark):
     array_max/array_position) must reproduce the r7 fan-out → window
     rank-1 assignment (ann._assign) exactly, winner id AND rounded
     cosine, on the real embeddings — including any rounded-cosine ties
-    (tie-break centroid asc).  Same for the top-N probe generalization
-    (with_probed_centroids vs the window top-N)."""
+    (tie-break centroid asc)."""
     from pyspark.sql import Window
 
     from d1_log_aggregation_spark.datapipe import ann
@@ -1749,15 +1748,3 @@ def test_fused_centroid_assignment_matches_window_argmax(spark):
     }
     assert new_cos == old_cos
 
-    # top-N probes (bigk's coarse probe stage), N = 3
-    old_probes = {
-        (r["vec_id"], r["centroid_id"])
-        for r in scored.withColumn("r", F.row_number().over(w))
-        .filter("r <= 3").collect()
-    }
-    new_probes = {
-        (r["vec_id"], r["cid"])
-        for r in ann.with_probed_centroids(base, cent_rows, 3, out_id="cid")
-        .select("vec_id", "cid").collect()
-    }
-    assert new_probes == old_probes
